@@ -1,0 +1,180 @@
+"""L3 solver tests: closed-form problems + torchdiffeq grid semantics
+(SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sttode_tpu.ode import odeint, odeint_adjoint
+
+
+def exp_decay(t, y, k):
+    return -k * y
+
+
+class TestFixedGrid:
+    def test_euler_one_step_quirk_q1(self):
+        """ts=[0,12] + euler == exactly one step y + 12·f(0,y)
+        (torchdiffeq grid-as-ts rule; reference ode_demo.py:165,186-190)."""
+        y0 = jnp.array([1.0, 2.0])
+        k = jnp.float32(0.1)
+        ys = odeint(exp_decay, y0, jnp.array([0.0, 12.0]), k, method="euler")
+        expect = y0 + 12.0 * (-k * y0)
+        np.testing.assert_allclose(np.asarray(ys[1]), np.asarray(expect),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y0))
+
+    @pytest.mark.parametrize("method,tol", [("euler", 2e-2), ("midpoint", 1e-4),
+                                            ("rk4", 1e-6)])
+    def test_exp_decay_convergence(self, method, tol):
+        y0 = jnp.array([1.0])
+        ts = jnp.linspace(0.0, 1.0, 101)
+        ys = odeint(exp_decay, y0, ts, jnp.float32(1.0), method=method)
+        expect = np.exp(-np.asarray(ts))
+        np.testing.assert_allclose(np.asarray(ys[:, 0]), expect, atol=tol)
+
+    def test_pytree_state(self):
+        y0 = {"a": jnp.ones((2, 3)), "b": jnp.zeros((4,))}
+
+        def f(t, y):
+            return {"a": -y["a"], "b": jnp.ones_like(y["b"])}
+
+        ys = odeint(f, y0, jnp.linspace(0, 1, 51), method="rk4")
+        np.testing.assert_allclose(np.asarray(ys["a"][-1]),
+                                   np.exp(-1.0) * np.ones((2, 3)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ys["b"][-1]), np.ones(4),
+                                   atol=1e-5)
+
+    def test_jit_and_grad(self):
+        ts = jnp.linspace(0.0, 1.0, 21)
+
+        @jax.jit
+        def loss(k):
+            ys = odeint(exp_decay, jnp.array([1.0]), ts, k, method="rk4")
+            return ys[-1, 0]
+
+        g = jax.grad(loss)(jnp.float32(1.0))
+        # d/dk exp(-k) at k=1 = -exp(-1)
+        np.testing.assert_allclose(float(g), -np.exp(-1.0), atol=1e-4)
+
+    def test_checkpoint_matches_plain(self):
+        ts = jnp.linspace(0.0, 1.0, 21)
+
+        def loss(k, ckpt):
+            ys = odeint(exp_decay, jnp.array([1.0]), ts, k, method="rk4",
+                        checkpoint=ckpt)
+            return ys[-1, 0]
+
+        g_plain = jax.grad(loss)(jnp.float32(1.0), False)
+        g_ckpt = jax.grad(loss)(jnp.float32(1.0), True)
+        np.testing.assert_allclose(float(g_plain), float(g_ckpt), atol=1e-6)
+
+
+class TestDopri5:
+    def test_exp_decay(self):
+        y0 = jnp.array([1.0])
+        ts = jnp.array([0.0, 0.5, 1.0, 2.0])
+        ys = odeint(exp_decay, y0, ts, jnp.float32(1.0), method="dopri5",
+                    rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(ys[:, 0]),
+                                   np.exp(-np.asarray(ts)), atol=1e-5)
+
+    def test_harmonic_oscillator(self):
+        def f(t, y):
+            return jnp.stack([y[1], -y[0]])
+
+        ts = jnp.linspace(0.0, 2 * np.pi, 5)
+        ys = odeint(f, jnp.array([1.0, 0.0]), ts, method="dopri5", rtol=1e-6,
+                    atol=1e-8)
+        np.testing.assert_allclose(np.asarray(ys[:, 0]),
+                                   np.cos(np.asarray(ts)), atol=1e-4)
+
+    def test_backward_time(self):
+        y0 = jnp.array([1.0])
+        ys = odeint(exp_decay, y0, jnp.array([1.0, 0.0]), jnp.float32(1.0),
+                    method="dopri5", rtol=1e-6, atol=1e-8)
+        # y(0) from y(1)=1 under dy=-y: y(0) = e^1
+        np.testing.assert_allclose(float(ys[1, 0]), np.e, rtol=1e-4)
+
+    def test_stiffish_matches_rk4_fine(self):
+        def f(t, y):
+            return -50.0 * (y - jnp.cos(t))
+
+        ts = jnp.array([0.0, 1.0])
+        y_ad = odeint(f, jnp.array([0.0]), ts, method="dopri5", rtol=1e-7,
+                      atol=1e-9)
+        y_rk = odeint(f, jnp.array([0.0]), jnp.linspace(0, 1, 2001),
+                      method="rk4")
+        np.testing.assert_allclose(float(y_ad[1, 0]), float(y_rk[-1, 0]),
+                                   atol=1e-4)
+
+
+class TestAdjoint:
+    def test_grad_matches_analytic(self):
+        ts = jnp.array([0.0, 1.0])
+
+        def loss(k):
+            ys = odeint_adjoint(exp_decay, jnp.array([1.0]), ts, k,
+                                method="dopri5", rtol=1e-7, atol=1e-9)
+            return ys[-1, 0]
+
+        g = jax.grad(loss)(jnp.float32(1.0))
+        np.testing.assert_allclose(float(g), -np.exp(-1.0), atol=1e-4)
+
+    def test_grad_wrt_y0(self):
+        ts = jnp.array([0.0, 1.0])
+
+        def loss(y0):
+            ys = odeint_adjoint(exp_decay, y0, ts, jnp.float32(1.0),
+                                method="dopri5", rtol=1e-7, atol=1e-9)
+            return ys[-1, 0]
+
+        g = jax.grad(loss)(jnp.array([1.0]))
+        # d y(1) / d y0 = exp(-1)
+        np.testing.assert_allclose(float(g[0]), np.exp(-1.0), atol=1e-4)
+
+    def test_multi_output_times(self):
+        ts = jnp.array([0.0, 0.5, 1.0])
+
+        def loss(k):
+            ys = odeint_adjoint(exp_decay, jnp.array([1.0]), ts, k,
+                                method="dopri5", rtol=1e-7, atol=1e-9)
+            return jnp.sum(ys[1:, 0])
+
+        g = jax.grad(loss)(jnp.float32(1.0))
+        expect = -0.5 * np.exp(-0.5) - 1.0 * np.exp(-1.0)
+        np.testing.assert_allclose(float(g), expect, atol=1e-4)
+
+    def test_param_pytree_grad(self):
+        ts = jnp.array([0.0, 1.0])
+        params = {"w": jnp.float32(0.5), "b": jnp.float32(0.2)}
+
+        def f(t, y, p):
+            return -(p["w"] + p["b"]) * y
+
+        def loss(p):
+            ys = odeint_adjoint(f, jnp.array([1.0]), ts, p, method="dopri5",
+                                rtol=1e-7, atol=1e-9)
+            return ys[-1, 0]
+
+        g = jax.grad(loss)(params)
+        expect = -np.exp(-0.7)
+        np.testing.assert_allclose(float(g["w"]), expect, atol=1e-4)
+        np.testing.assert_allclose(float(g["b"]), expect, atol=1e-4)
+
+    def test_adjoint_rk4_matches_direct(self):
+        ts = jnp.linspace(0.0, 1.0, 41)
+
+        def loss_adj(k):
+            ys = odeint_adjoint(exp_decay, jnp.array([1.0]), ts, k,
+                                method="rk4")
+            return ys[-1, 0]
+
+        def loss_dir(k):
+            ys = odeint(exp_decay, jnp.array([1.0]), ts, k, method="rk4")
+            return ys[-1, 0]
+
+        g_adj = jax.grad(loss_adj)(jnp.float32(1.0))
+        g_dir = jax.grad(loss_dir)(jnp.float32(1.0))
+        np.testing.assert_allclose(float(g_adj), float(g_dir), atol=1e-3)
