@@ -1,0 +1,174 @@
+"""Multi-Head Geodesic Self-Attention (MHGSA) — the framework's hot kernel, L1.
+
+Attention scores are *negated geodesic distances on the oblique manifold*
+instead of scaled dot products (reference hyptransformerlib.py:251-265 consuming
+core/manifolds/oblique.py:36-45):
+
+    score(q, k) = -acos(clip(q̂ · k̂, ±(1-ε)))
+
+The pure-jnp path here is the semantic ground truth the fused Pallas kernel
+(`sttode_tpu.kernels`) is validated against.
+
+Two score orientations are exposed:
+
+- ``compat="reference"`` reproduces quirk Q3 (SURVEY.md §2.5): the reference
+  builds ``acos(k̂ q̂ᵀ)`` (shape [..., S, L]) and transposes **only when L≠S**,
+  so for self-attention the matrix actually used is
+  ``scores[i, j] = -d(k_i, q_j)`` — softmax normalizes over *queries* for a
+  fixed key row. Masks are dropped (quirk Q2: the reference's mask/softmax
+  plumbing for the dot-product path is commented out and Hypattention never
+  forwards masks into hyp_mhsa).
+- ``compat="tpu"`` is the corrected orientation ``scores[i, j] = -d(q_i, k_j)``
+  with additive-mask support — the mode the [N,N] agent-mask shape says was
+  intended, and the one padded SPMD batches need.
+
+Head layout is [..., H, L, Dh] throughout (no [B·H] flattening — XLA batches the
+Gram matmuls over leading dims onto the MXU directly). The per-head q-scaling by
+``head_dim^-0.5`` before row normalization (quirk Q10, a forward no-op erased by
+the normalize) is reproduced so gradient statistics match the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sttode_tpu.manifolds import oblique
+from sttode_tpu.nn import core
+
+
+class MHGSAParams(NamedTuple):
+    """Packed projections, mirroring the reference module's parameter surface
+    (hyptransformerlib.py Hyp_mhsa: in_proj_weight [3E,E] xavier-uniform,
+    in_proj_bias zeros, out_proj Linear with zeroed bias).
+
+    Stored JAX-layout: ``in_proj_w`` is [E, 3E] so q,k,v slices are contiguous
+    output columns of one MXU matmul.
+    """
+    in_proj_w: jnp.ndarray   # [E, 3E]
+    in_proj_b: jnp.ndarray   # [3E]
+    out_proj_w: jnp.ndarray  # [E, E]
+    out_proj_b: jnp.ndarray  # [E]
+
+
+def mhgsa_init(key, embed_dim: int, dtype=jnp.float32) -> MHGSAParams:
+    k1, k2 = jax.random.split(key)
+    # torch xavier_uniform_ on the [3E, E] packed weight sees fan_in=E,
+    # fan_out=3E; sampling the transposed [E, 3E] layout with the same bound
+    # gives the identical per-element distribution.
+    in_w = core.xavier_uniform(k1, embed_dim, 3 * embed_dim, dtype=dtype)
+    out_w = core.torch_linear_weight(k2, embed_dim, embed_dim, dtype=dtype)
+    return MHGSAParams(
+        in_proj_w=in_w,
+        in_proj_b=jnp.zeros((3 * embed_dim,), dtype),
+        out_proj_w=out_w,
+        out_proj_b=jnp.zeros((embed_dim,), dtype),
+    )
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[..., L, E] -> [..., H, L, Dh]."""
+    *lead, L, E = x.shape
+    x = x.reshape(*lead, L, num_heads, E // num_heads)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, L, Dh] -> [..., L, E]."""
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, L, H, Dh = x.shape
+    return x.reshape(*lead, L, H * Dh)
+
+
+def geodesic_scores(q: jnp.ndarray, k: jnp.ndarray, *,
+                    compat: str = "reference") -> jnp.ndarray:
+    """Negated geodesic distance score matrix over the trailing two dims.
+
+    q: [..., L, Dh], k: [..., S, Dh] → [..., L, S].
+    """
+    qn = oblique.proj(q)
+    kn = oblique.proj(k)
+    if compat == "reference":
+        # Quirk Q3: the reference computes acos(k̂ q̂ᵀ) = d(k, q) with shape
+        # [..., S, L] and keeps it untransposed when S == L. We build that
+        # orientation directly: row i ↔ key_i when square.
+        L, S = q.shape[-2], k.shape[-2]
+        d = oblique.dist(kn, qn)          # [..., S, L]
+        if L != S:
+            d = jnp.swapaxes(d, -1, -2)   # [..., L, S] — the corrected orient.
+        return -d
+    return -oblique.dist(qn, kn)          # [..., L, S]
+
+
+def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                       mask: jnp.ndarray | None = None,
+                       dropout_rate: float = 0.0,
+                       dropout_key=None,
+                       deterministic: bool = True,
+                       compat: str = "reference"):
+    """Core attention: geodesic scores → (+mask) → softmax → dropout → @v.
+
+    q [..., L, Dh], k/v [..., S, Dh], mask additive [..., L, S] or broadcastable.
+    Returns (out [..., L, Dh], weights [..., L, S]).
+    """
+    scores = geodesic_scores(q, k, compat=compat)
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1)
+    w = core.dropout(dropout_key, w, dropout_rate, deterministic)
+    out = jnp.einsum("...ls,...sd->...ld", w, v,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out, w
+
+
+def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
+          value: jnp.ndarray, num_heads: int, *,
+          mask: jnp.ndarray | None = None,
+          dropout_rate: float = 0.0,
+          dropout_key=None,
+          deterministic: bool = True,
+          compat: str = "reference",
+          need_weights: bool = False):
+    """Full multi-head geodesic attention (reference hyp_mhsa semantics).
+
+    query [..., L, E]; key/value [..., S, E]. Leading dims are batch. The packed
+    projection follows the reference's fast paths: one fused [E,3E] matmul when
+    q is k is v (self-attention), split projections otherwise
+    (hyptransformerlib.py:112-190).
+
+    Returns (out [..., L, E], head-averaged weights [..., L, S] or None).
+    """
+    E = query.shape[-1]
+    head_dim = E // num_heads
+    assert head_dim * num_heads == E, "embed_dim must divide num_heads"
+
+    if query is key and key is value:
+        qkv = query @ params.in_proj_w + params.in_proj_b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        wq, wk, wv = jnp.split(params.in_proj_w, 3, axis=1)
+        bq, bk, bv = jnp.split(params.in_proj_b, 3)
+        q = query @ wq + bq
+        k = key @ wk + bk
+        v = value @ wv + bv
+
+    # Quirk Q10: forward no-op after row normalization; kept for grad parity.
+    q = q * (head_dim ** -0.5)
+
+    qh = split_heads(q, num_heads)   # [..., H, L, Dh]
+    kh = split_heads(k, num_heads)
+    vh = split_heads(v, num_heads)
+
+    if mask is not None:
+        mask = mask[..., None, :, :]  # broadcast over heads
+
+    out_h, w = geodesic_attention(
+        qh, kh, vh, mask=mask, dropout_rate=dropout_rate,
+        dropout_key=dropout_key, deterministic=deterministic, compat=compat)
+
+    out = merge_heads(out_h) @ params.out_proj_w + params.out_proj_b
+    if need_weights:
+        return out, jnp.mean(w, axis=-3)  # average over heads
+    return out, None

@@ -6,14 +6,23 @@ numerics are validated on a CPU-simulated mesh, so the suite runs anywhere.
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends. Hard assignment, not
+# setdefault: the environment pins JAX_PLATFORMS to the TPU plugin globally,
+# and the unit suite must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The environment's sitecustomize imports jax at interpreter start (to register
+# the TPU PJRT plugin), so env vars alone are too late — pin the platform via
+# the config API as well, before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -22,3 +31,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_sessionfinish(session, exitstatus):
+    """Hard-exit after the suite: the environment's TPU PJRT plugin registers a
+    non-daemon grant thread at interpreter start; when the suite runs CPU-only
+    that thread blocks normal interpreter teardown for ~5 minutes. Flush and
+    _exit with pytest's status so reporting is complete and CI sees the right
+    code."""
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(int(exitstatus))
