@@ -1,0 +1,395 @@
+"""STTODE CVAE trajectory forecaster (L4) — TPU-native functional build.
+
+Reference surface: model/STTODE.py (STTODENet :349-623, PastEncoder :178-236,
+FutureEncoder :238-300, Decoder :302-347, DecomposeBlock :16-77). The torch
+model threads state through module attributes (``set_data`` → ``forward``);
+here everything is pure: a ``Batch`` pytree in, params pytree in, loss /
+predictions out, RNG keys explicit. Static structure (shapes, sample counts)
+lives in ``STTODEConfig`` so jit sees concrete shapes.
+
+Shapes: B scenes × N agents are flattened to M = B·N for all per-agent
+tensors; the encoders' interaction attention re-views them as [B, N, 1, D]
+and attends per the configured axis:
+
+- ``attn_axis="scene"`` reproduces the reference exactly (quirk Q4: tokens are
+  the B scenes for a fixed agent slot — for ETH/SDD's B=1 the softmax is over a
+  single token and attention degenerates to a gated value transform).
+- ``attn_axis="agent"`` attends over the N agents of each scene with the
+  validity mask applied — what the reference's [N,N] mask shape says was
+  intended, and the mode padded SPMD batches require.
+
+Sampling: best-of-K decoding is laid out as an explicit sample axis
+[M, K, ...] flattened to M·K for the decode matmuls — one big MXU batch, no
+python loop over samples.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sttode_tpu.nn import core, embed
+from sttode_tpu.nn.ode_block import ode_encoder
+from sttode_tpu.nn.recurrent import conv1d, conv1d_init, gru, gru_init
+from sttode_tpu.nn.transformer import LayerConfig, encoder_stack_init
+from sttode_tpu.utils.distributions import DiagNormal
+
+
+class STTODEConfig(NamedTuple):
+    """Static model hyperparameters (reference defaults: train.py:21-52 and the
+    hard-coded encoder constants at model/STTODE.py:190-195,249-254)."""
+    hidden_dim: int = 64
+    zdim: int = 32
+    num_heads: int = 8
+    ff_dim: int = 1024
+    nlayer: int = 1
+    ode_time: float = 12.0
+    ode_method: str = "euler"
+    ode_steps: int = 1
+    past_length: int = 8
+    future_length: int = 12
+    num_decompose: int = 2
+    min_clip: float = 2.0
+    sample_k: int = 20
+    scale_num: int = 4            # 2 + len(hyper_scales); enters feature widths
+    learn_prior: bool = False
+    compat: str = "reference"     # score orientation + mask handling (Q2/Q3)
+    attn_axis: str = "scene"      # "scene" (reference, Q4) | "agent"
+    pe_dropout: float = 0.1
+    dropout: float = 0.0
+
+    @property
+    def layer_cfg(self) -> LayerConfig:
+        return LayerConfig(d_model=self.hidden_dim, num_heads=self.num_heads,
+                           ff_dim=self.ff_dim, dropout=self.dropout,
+                           compat=self.compat)
+
+
+class Batch(NamedTuple):
+    """Scene batch, already normalized/augmented by the data layer
+    (``sttode_tpu.data.preprocess``). All per-agent tensors are [M, T, 2]
+    with M = batch_size·agent_num.
+
+    ``valid`` marks real (non-padded) agents; all-ones reproduces the
+    reference's unpadded batches."""
+    past: jnp.ndarray          # [M, T_p, 2] scene-normalized positions
+    past_vel: jnp.ndarray      # [M, T_p, 2]
+    future: jnp.ndarray        # [M, T_f, 2]
+    future_vel: jnp.ndarray    # [M, T_f, 2]
+    valid: jnp.ndarray         # [M] float 1/0
+    batch_size: int            # static B
+    agent_num: int             # static N
+
+    @property
+    def inputs(self) -> jnp.ndarray:
+        return jnp.concatenate([self.past, self.past_vel], axis=-1)
+
+    @property
+    def inputs_for_posterior(self) -> jnp.ndarray:
+        return jnp.concatenate([self.future, self.future_vel], axis=-1)
+
+    @property
+    def cur_location(self) -> jnp.ndarray:
+        return self.past[:, -1:]
+
+
+# --------------------------------------------------------------------------- #
+# init                                                                        #
+# --------------------------------------------------------------------------- #
+
+def _trunk_init(key, cfg: STTODEConfig, seq_len: int, dtype):
+    """Shared encoder trunk: input_fc → PE → input_fc2 → (+category) input_fc3
+    → ODE-integrated interaction encoder (reference PastEncoder/FutureEncoder
+    share this structure)."""
+    D = cfg.hidden_dim
+    ks = jax.random.split(key, 5)
+    return {
+        "input_fc": core.dense_init(ks[0], 4, D, dtype=dtype),
+        "pe": embed.positional_agent_encoding_init(ks[1], D, dtype=dtype),
+        "input_fc2": core.dense_init(ks[2], D * seq_len, D, dtype=dtype),
+        "input_fc3": core.dense_init(ks[3], D + 3, D, dtype=dtype),
+        "ode_layers": encoder_stack_init(ks[4], cfg.layer_cfg, cfg.nlayer,
+                                         dtype=dtype),
+    }
+
+
+def _decompose_init(key, cfg: STTODEConfig, dtype):
+    """One DecomposeBlock (reference model/STTODE.py:16-77): Conv1d(2→32,k3)
+    + GRU(32→96) over the past residual, MLP[512,256] heads for future/past."""
+    D = cfg.hidden_dim
+    gru_hidden = 96
+    feat_dim = 2 * D + cfg.zdim + gru_hidden
+    ks = jax.random.split(key, 4)
+    return {
+        "conv_past": conv1d_init(ks[0], 2, 32, 3, dtype=dtype),
+        "gru": gru_init(ks[1], 32, gru_hidden, dtype=dtype),
+        "decoder_y": core.mlp_init(ks[2], feat_dim, [512, 256],
+                                   cfg.future_length * 2, dtype=dtype),
+        "decoder_x": core.mlp_init(ks[3], feat_dim, [512, 256],
+                                   cfg.past_length * 2, dtype=dtype),
+    }
+
+
+def sttode_init(key, cfg: STTODEConfig, dtype=jnp.float32) -> dict:
+    D = cfg.hidden_dim
+    ks = jax.random.split(key, 6)
+    fut_extra_in = cfg.scale_num * D  # cat(past_feature[2D], future_feature[2D])
+    params = {
+        "past_encoder": _trunk_init(ks[0], cfg, cfg.past_length, dtype),
+        "future_encoder": _trunk_init(ks[1], cfg, cfg.future_length, dtype),
+        # posterior head: MLP2(relu, N(0,0.01) init) + qz linear (same init) —
+        # reference model/STTODE.py:258-261
+        "out_mlp": core.mlp_init_normal001(ks[2], fut_extra_in, [128], dtype=dtype),
+        "qz_layer": {"w": core.normal_001(ks[3], 128, 2 * cfg.zdim, dtype=dtype),
+                     "b": jnp.zeros((2 * cfg.zdim,), dtype)},
+        "decoder": [_decompose_init(k, cfg, dtype)
+                    for k in jax.random.split(ks[4], cfg.num_decompose)],
+    }
+    if cfg.learn_prior:
+        # reference pz_layer expects scale_num·D input (quirk Q8: dead unless
+        # learn_prior; we wire it to the real 2D past-feature width instead of
+        # reproducing the latent shape bug).
+        params["pz_layer"] = {
+            "w": core.normal_001(ks[5], 2 * D, 2 * cfg.zdim, dtype=dtype),
+            "b": jnp.zeros((2 * cfg.zdim,), dtype)}
+    return params
+
+
+# --------------------------------------------------------------------------- #
+# encoders                                                                    #
+# --------------------------------------------------------------------------- #
+
+def _add_category(x: jnp.ndarray) -> jnp.ndarray:
+    """Append a 3-dim one-hot category marking only the last agent slot (the
+    NBA ball) — reference add_category, model/STTODE.py:199-210, whose first
+    two indexing statements are no-ops."""
+    B, N, _ = x.shape
+    category = jnp.zeros((N, 3), x.dtype).at[N - 1, 2].set(1.0)
+    category = jnp.broadcast_to(category, (B, N, 3))
+    return jnp.concatenate([x, category], axis=-1)
+
+
+def _agent_attn_mask(valid: jnp.ndarray, B: int, N: int) -> jnp.ndarray:
+    """Additive [B, N, N] mask from per-agent validity for attn_axis='agent'."""
+    v = valid.reshape(B, N)
+    neg = jnp.asarray(jnp.finfo(v.dtype).min, v.dtype)
+    return jnp.where(v[:, None, :] > 0, 0.0, neg)
+
+
+def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
+                  B: int, N: int, valid: jnp.ndarray, *, rng, train: bool):
+    """Shared trunk → [M, 2D] concat(skip, interaction) feature
+    (reference PastEncoder.forward, model/STTODE.py:214-236)."""
+    D = cfg.hidden_dim
+    T = inputs.shape[1]
+    k_pe, k_ode = jax.random.split(rng)
+
+    x = core.dense(p["input_fc"], inputs)                     # [M, T, D]
+    x = embed.positional_agent_encoding(
+        p["pe"], x, rng=k_pe, dropout_rate=cfg.pe_dropout,
+        deterministic=not train)
+    x = x.reshape(B, N, T * D)
+    x = core.dense(p["input_fc2"], x)                          # [B, N, D]
+    x = core.dense(p["input_fc3"], _add_category(x))           # [B, N, D]
+
+    if cfg.attn_axis == "scene":
+        tokens = x[:, :, None, :]                              # [L=B, N, 1, D]
+        mask = None
+    else:
+        tokens = jnp.transpose(x, (1, 0, 2))[:, :, None, :]    # [L=N, B, 1, D]
+        mask = _agent_attn_mask(valid, B, N)                   # [B, N, N]
+
+    z = ode_encoder(p["ode_layers"], tokens, cfg.layer_cfg, time=cfg.ode_time,
+                    method=cfg.ode_method, steps=cfg.ode_steps, mask=mask,
+                    rng=k_ode, deterministic=not train)
+    if cfg.attn_axis == "scene":
+        z = z[:, :, 0]                                         # [B, N, D]
+    else:
+        z = jnp.transpose(z[:, :, 0], (1, 0, 2))               # [B, N, D]
+
+    feat = jnp.concatenate([x, z], axis=-1)                    # [B, N, 2D]
+    return feat.reshape(B * N, 2 * D)
+
+
+def encode_past(params: dict, cfg: STTODEConfig, batch: Batch, *, rng,
+                train: bool) -> jnp.ndarray:
+    """past_feature [M, 2D] (reference encode_history, model/STTODE.py:488-496)."""
+    return _encode_trunk(params["past_encoder"], cfg, batch.inputs,
+                         batch.batch_size, batch.agent_num, batch.valid,
+                         rng=rng, train=train)
+
+
+def encode_future(params: dict, cfg: STTODEConfig, batch: Batch,
+                  past_feature: jnp.ndarray, *, rng, train: bool) -> DiagNormal:
+    """Posterior q(z|x,y) params (reference FutureEncoder.forward,
+    model/STTODE.py:276-301)."""
+    fut_feat = _encode_trunk(params["future_encoder"], cfg,
+                             batch.inputs_for_posterior, batch.batch_size,
+                             batch.agent_num, batch.valid, rng=rng, train=train)
+    h = jnp.concatenate([past_feature, fut_feat], axis=-1)
+    h = core.mlp(params["out_mlp"], h, activation="relu", activate_final=True)
+    qz_params = core.dense(params["qz_layer"], h)
+    return DiagNormal.from_params(qz_params)
+
+
+def prior(params: dict, cfg: STTODEConfig,
+          past_feature: jnp.ndarray) -> DiagNormal:
+    """p(z): N(0, I) unless learn_prior (reference fu_encoder,
+    model/STTODE.py:512-525)."""
+    if cfg.learn_prior:
+        return DiagNormal.from_params(core.dense(params["pz_layer"],
+                                                 past_feature))
+    M = past_feature.shape[0]
+    return DiagNormal.standard((M, cfg.zdim), past_feature.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# decoder                                                                     #
+# --------------------------------------------------------------------------- #
+
+def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
+           z: jnp.ndarray, past_traj: jnp.ndarray, cur_location: jnp.ndarray,
+           sample_num: int):
+    """Iterative decompose decoder (reference Decoder.forward,
+    model/STTODE.py:320-347).
+
+    past_feature: [M·s, 2D] (pre-repeated), z: [M·s, zdim],
+    past_traj: [M, T_p, 2], cur_location: [M, 1, 2].
+    Returns (out_seq [M·s, T_f, 2] absolute, reconstruction [M·s, T_p, 2]).
+    """
+    s = sample_num
+    x_true = jnp.repeat(past_traj, s, axis=0)                  # [M·s, T_p, 2]
+    hidden = jnp.concatenate([past_feature, z], axis=-1)       # [M·s, 2D+Z]
+
+    x_hat = jnp.zeros_like(x_true)
+    prediction = jnp.zeros((x_true.shape[0], cfg.future_length, 2),
+                           x_true.dtype)
+    reconstruction = jnp.zeros((x_true.shape[0], cfg.past_length, 2),
+                               x_true.dtype)
+    # num_decompose=2 distinct blocks — unrolled (each has its own params);
+    # block i+1 refines the residual x_true - x_hat_i.
+    for block in params["decoder"]:
+        residual = x_true - x_hat                              # [M·s, T_p, 2]
+        h = jax.nn.relu(conv1d(block["conv_past"], residual, padding=1))
+        _, state = gru(block["gru"], h)                        # [M·s, 96]
+        feat = jnp.concatenate([hidden, state], axis=-1)
+        x_hat = core.mlp(block["decoder_x"], feat).reshape(
+            -1, cfg.past_length, 2)
+        y_hat = core.mlp(block["decoder_y"], feat).reshape(
+            -1, cfg.future_length, 2)
+        prediction = prediction + y_hat
+        reconstruction = reconstruction + x_hat
+
+    out_seq = prediction + jnp.repeat(cur_location, s, axis=0)
+    return out_seq, reconstruction
+
+
+# --------------------------------------------------------------------------- #
+# losses (reference model/STTODE.py:372-395)                                  #
+# --------------------------------------------------------------------------- #
+
+def loss_pred(pred, target, batch_size, valid=None):
+    """ΣSE / B / T — the reference's normalization (÷batch÷horizon, NOT ÷agents).
+    ``valid`` masks padded agents so padded batches match unpadded numerics."""
+    se = jnp.square(target - pred)
+    if valid is not None:
+        se = se * valid[:, None, None]
+    return jnp.sum(se) / batch_size / pred.shape[1]
+
+
+def loss_kl(qz: DiagNormal, pz: DiagNormal, batch_size, agent_num, min_clip,
+            valid=None):
+    """Σ KL / (B·N), floored at min_clip. The floor uses max(), reproducing the
+    gradient semantics of the reference's in-place clamp_min_ (quirk Q5):
+    zero gradient when the unclamped loss is below the floor."""
+    kl = qz.kl(pz)
+    if valid is not None:
+        kl = kl * valid[:, None]
+    loss = jnp.sum(kl) / (batch_size * agent_num)
+    return jnp.maximum(loss, min_clip)
+
+
+def loss_diverse(pred_k, target, valid=None):
+    """Best-of-K: min over samples of ΣSE, averaged over agents.
+    pred_k: [M, K, T, 2], target: [M, T, 2]."""
+    diff = target[:, None] - pred_k
+    dist = jnp.sum(jnp.square(diff), axis=(-1, -2))            # [M, K]
+    best = jnp.min(dist, axis=1)                               # [M]
+    if valid is not None:
+        return jnp.sum(best * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.mean(best)
+
+
+# --------------------------------------------------------------------------- #
+# training forward & inference                                                #
+# --------------------------------------------------------------------------- #
+
+class ForwardOutput(NamedTuple):
+    total_loss: jnp.ndarray
+    loss_pred: jnp.ndarray
+    loss_recover: jnp.ndarray
+    loss_kl: jnp.ndarray
+    loss_diverse: jnp.ndarray
+    qz: DiagNormal
+    pz: DiagNormal
+    past_feature: jnp.ndarray
+    pred_traj: jnp.ndarray      # [M, T_f, 2] posterior reconstruction decode
+    diverse_pred: jnp.ndarray   # [M, K, T_f, 2] prior samples
+
+
+def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
+                   train: bool = True) -> ForwardOutput:
+    """Full CVAE training step forward (reference STTODENet.forward,
+    model/STTODE.py:553-568): posterior decode + KL + best-of-K diverse loss."""
+    k_enc, k_fenc, k_q, k_p = jax.random.split(rng, 4)
+    B, N = batch.batch_size, batch.agent_num
+    M = B * N
+    K = cfg.sample_k
+    valid = batch.valid
+
+    past_feature = encode_past(params, cfg, batch, rng=k_enc, train=train)
+    qz = encode_future(params, cfg, batch, past_feature, rng=k_fenc,
+                       train=train)
+    pz = prior(params, cfg, past_feature)
+    qz_sample = qz.rsample(k_q)
+
+    # posterior reconstruction decode (sample_num=1)
+    pred_traj, recover_traj = decode(params, cfg, past_feature, qz_sample,
+                                     batch.past, batch.cur_location, 1)
+    l_pred = loss_pred(pred_traj, batch.future, B, valid)
+    l_recover = loss_pred(recover_traj, batch.past, B, valid)
+    l_kl = loss_kl(qz, pz, B, N, cfg.min_clip, valid)
+
+    # best-of-K diverse decode from the (repeated) prior
+    past_feature_k = jnp.repeat(past_feature, K, axis=0)
+    pz_k = prior(params, cfg, past_feature_k)
+    pz_sample = pz_k.rsample(k_p)
+    diverse, _ = decode(params, cfg, past_feature_k, pz_sample, batch.past,
+                        batch.cur_location, K)
+    diverse = diverse.reshape(M, K, cfg.future_length, 2)
+    l_div = loss_diverse(diverse, batch.future, valid)
+
+    total = l_pred + l_recover + l_kl + l_div
+    return ForwardOutput(total, l_pred, l_recover, l_kl, l_div, qz, pz,
+                         past_feature, pred_traj, diverse)
+
+
+def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
+                     sample_k: int | None = None) -> jnp.ndarray:
+    """Best-of-K prior decode (reference STTODENet.inference,
+    model/STTODE.py:574-623). Returns [K, M, T_f, 2] in scene-normalized
+    coordinates; the caller re-adds scene_orig (data layer's job)."""
+    K = sample_k or cfg.sample_k
+    k_enc, k_p = jax.random.split(rng)
+    M = batch.batch_size * batch.agent_num
+
+    past_feature = encode_past(params, cfg, batch, rng=k_enc, train=False)
+    past_feature_k = jnp.repeat(past_feature, K, axis=0)
+    pz = prior(params, cfg, past_feature_k)
+    z = pz.rsample(k_p)
+    diverse, _ = decode(params, cfg, past_feature_k, z, batch.past,
+                        batch.cur_location, K)
+    return jnp.transpose(diverse.reshape(M, K, cfg.future_length, 2),
+                         (1, 0, 2, 3))

@@ -33,16 +33,25 @@ def rng():
     return np.random.default_rng(0)
 
 
+_exit_status = {"code": 0}
+
+
 @pytest.hookimpl(trylast=True)
 def pytest_sessionfinish(session, exitstatus):
-    """Hard-exit after the suite: the environment's TPU PJRT plugin registers a
-    non-daemon grant thread at interpreter start; when the suite runs CPU-only
-    that thread blocks normal interpreter teardown for ~5 minutes. Flush and
-    _exit with pytest's status so reporting is complete and CI sees the right
-    code."""
+    _exit_status["code"] = int(exitstatus)
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_unconfigure(config):
+    """Hard-exit after the suite has fully reported: the environment's TPU PJRT
+    plugin registers a non-daemon grant thread at interpreter start; when the
+    suite runs CPU-only that thread blocks normal interpreter teardown for
+    ~5 minutes. Flush and _exit with pytest's status so CI sees the right
+    code. (unconfigure runs after the terminal summary, so no output is lost.)
+    """
     import os as _os
     import sys as _sys
 
     _sys.stdout.flush()
     _sys.stderr.flush()
-    _os._exit(int(exitstatus))
+    _os._exit(_exit_status["code"])
