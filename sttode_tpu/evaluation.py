@@ -1,0 +1,105 @@
+"""Evaluation harness (reference test.py / test_sampler.py eval loops).
+
+Best-of-K min-ADE/FDE over scene sweeps, and the NBA horizon table (per-0.4s
+prefix errors with the reference's 1s/3s adjacent-prefix averaging,
+test.py:495-588). Device work (the 20-sample decode) is jitted per bucket
+shape; the tiny min/mean reductions run in numpy on the host like the
+reference's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable
+
+import numpy as np
+import jax
+
+from sttode_tpu.data.batching import scene_batches
+from sttode_tpu.data.preprocess import prepare_nba_batch
+from sttode_tpu.models.sttode import (
+    Batch, STTODEConfig, sttode_inference,
+)
+from sttode_tpu.utils.metrics import AverageMeter, compute_ade, compute_fde, \
+    count_miss_samples
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sample_k"))
+def _infer(params, cfg: STTODEConfig, batch: Batch, key, sample_k: int):
+    return sttode_inference(params, cfg, batch, key, sample_k=sample_k)
+
+
+def evaluate_scenes(params, cfg: STTODEConfig, scenes: list[dict], key, *,
+                    sample_k: int = 20, scenes_per_batch: int = 1,
+                    miss_threshold: float = 1.0) -> dict:
+    """ETH/SDD protocol: per-scene best-of-K ADE/FDE averaged per agent
+    (reference test.py:163-208). Returns {'ade', 'fde', 'miss_rate', 'agents'}.
+    """
+    ade_m, fde_m = AverageMeter(), AverageMeter()
+    missed, total = 0, 0
+    for batch, origs in scene_batches(scenes, training=False,
+                                      scenes_per_batch=scenes_per_batch):
+        key, sub = jax.random.split(key)
+        preds = np.asarray(_infer(params, cfg, batch, sub, sample_k))
+        K, M, T, _ = preds.shape
+        B, N = batch.batch_size, batch.agent_num
+        # re-add each scene's origin (reference inference tail,
+        # model/STTODE.py:621-623)
+        preds = preds.reshape(K, B, N, T, 2) + origs[None, :, None, None, :]
+        gt = np.asarray(batch.future).reshape(B, N, T, 2) + \
+            origs[:, None, None, :]
+        valid = np.asarray(batch.valid).reshape(B, N)
+        pred_nk = np.transpose(preds, (1, 2, 0, 3, 4))     # [B, N, K, T, 2]
+        for b in range(B):
+            v = valid[b]
+            n_real = int(v.sum())
+            if n_real == 0:
+                continue
+            ade = compute_ade(pred_nk[b], gt[b], v)
+            fde = compute_fde(pred_nk[b], gt[b], v)
+            ade_m.update(ade, n=n_real)
+            fde_m.update(fde, n=n_real)
+            real = v > 0
+            missed += count_miss_samples(pred_nk[b][real], gt[b][real],
+                                         miss_threshold)
+            total += n_real
+    return {"ade": ade_m.avg, "fde": fde_m.avg,
+            "miss_rate": missed / max(total, 1), "agents": total}
+
+
+def evaluate_nba(params, cfg: STTODEConfig, batches: Iterable[dict], key, *,
+                 sample_k: int = 20, traj_scale: float = 1.0) -> dict:
+    """NBA horizon table (reference test_model_all, test.py:495-588): per-agent
+    best-of-K prefix ADE / step FDE at each 0.4s horizon; 1.0s/3.0s reported as
+    the mean of the two adjacent prefixes."""
+    T = cfg.future_length
+    avg_acc = np.zeros(T)
+    dest_acc = np.zeros(T)
+    n_scenes = 0
+    for data in batches:
+        batch = prepare_nba_batch(data)
+        batch = Batch(past=jax.numpy.asarray(batch.past),
+                      past_vel=jax.numpy.asarray(batch.past_vel),
+                      future=jax.numpy.asarray(batch.future),
+                      future_vel=jax.numpy.asarray(batch.future_vel),
+                      valid=jax.numpy.asarray(batch.valid),
+                      batch_size=batch.batch_size, agent_num=batch.agent_num)
+        key, sub = jax.random.split(key)
+        preds = np.asarray(_infer(params, cfg, batch, sub, sample_k))
+        preds = np.transpose(preds, (1, 0, 2, 3)) * traj_scale  # [M, K, T, 2]
+        gt = np.asarray(batch.future) * traj_scale              # [M, T, 2]
+        d = np.linalg.norm(preds - gt[:, None], axis=-1)        # [M, K, T]
+        B = batch.batch_size
+        for t in range(T):
+            avg_acc[t] += d[:, :, :t + 1].mean(-1).min(-1).mean() * B
+            dest_acc[t] += d[:, :, t].min(-1).mean() * B
+        n_scenes += B
+    avg = avg_acc / max(n_scenes, 1)
+    dest = dest_acc / max(n_scenes, 1)
+    return {
+        "ade": {"1.0s": (avg[1] + avg[2]) / 2, "2.0s": avg[4],
+                "3.0s": (avg[6] + avg[7]) / 2, "4.0s": avg[T - 1]},
+        "fde": {"1.0s": (dest[1] + dest[2]) / 2, "2.0s": dest[4],
+                "3.0s": (dest[6] + dest[7]) / 2, "4.0s": dest[T - 1]},
+        "scenes": n_scenes,
+    }

@@ -25,6 +25,8 @@ python loop over samples.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -67,13 +69,21 @@ class STTODEConfig(NamedTuple):
                            compat=self.compat)
 
 
-class Batch(NamedTuple):
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["past", "past_vel", "future", "future_vel",
+                                "valid"],
+                   meta_fields=["batch_size", "agent_num"])
+@dataclasses.dataclass(frozen=True)
+class Batch:
     """Scene batch, already normalized/augmented by the data layer
     (``sttode_tpu.data.preprocess``). All per-agent tensors are [M, T, 2]
     with M = batch_size·agent_num.
 
     ``valid`` marks real (non-padded) agents; all-ones reproduces the
-    reference's unpadded batches."""
+    reference's unpadded batches.
+
+    ``batch_size``/``agent_num`` are pytree *metadata* (static under jit) —
+    shapes stay concrete inside compiled steps."""
     past: jnp.ndarray          # [M, T_p, 2] scene-normalized positions
     past_vel: jnp.ndarray      # [M, T_p, 2]
     future: jnp.ndarray        # [M, T_f, 2]

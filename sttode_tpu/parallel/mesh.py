@@ -1,0 +1,100 @@
+"""Device mesh + sharding rules (SPMD layer).
+
+The reference has no distributed execution at all (SURVEY.md §2.6: NCCL helpers
+with zero call sites, single device everywhere). Here parallelism is the
+XLA-native kind: a ``jax.sharding.Mesh`` over ("data", "model") axes; arrays
+carry ``NamedSharding``s and XLA inserts the collectives (psum for gradient
+all-reduce over ICI, all-gathers where TP shards meet).
+
+Strategies (SURVEY.md §2.6 TPU-native plan):
+- **DP** (primary): the flattened scene·agent axis M of every Batch tensor is
+  sharded over "data". Gradients psum automatically under jit.
+- **TP** (demonstrator — model is ~2-6M params): attention QKV/out projections
+  and the FFN hidden dim shard over "model" via the rules in
+  ``param_sharding``; XLA places the matching collectives.
+- **PP**: not warranted (nlayer=1); documented, none provided.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int | None = None, tp: int = 1,
+              devices=None) -> Mesh:
+    """Mesh of shape [dp, tp] over the available devices (axes "data",
+    "model")."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
+    grid = np.asarray(devices[:dp * tp]).reshape(dp, tp)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a ``Batch``: every tensor leads with the flattened
+    scene·agent axis M, so one row-sharding serves as a prefix spec for the
+    whole pytree."""
+    return NamedSharding(mesh, P("data"))
+
+
+# TP rules: regex on the param path → PartitionSpec. Dense weights are stored
+# [d_in, d_out]; shard the dimension whose matmul partner is already sharded
+# so the pair needs only one collective.
+_TP_RULES = (
+    (r"in_proj_w$", P(None, "model")),        # QKV columns → heads sharded
+    (r"out_proj_w$", P("model", None)),       # rows match sharded heads
+    (r"ffn.*linear1.*w$", P(None, "model")),  # FFN hidden columns
+    (r"ffn.*linear2.*w$", P("model", None)),  # FFN hidden rows
+    (r"decoder_[xy].*layers/0.*w$", P(None, "model")),  # decompose MLP hidden
+    (r"decoder_[xy].*layers/1.*w$", P("model", None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_sharding(params: Any, mesh: Mesh, *, tp: bool = False):
+    """Sharding pytree for params: replicated by default; with ``tp=True``,
+    the `_TP_RULES` shard attention/FFN/decoder-MLP matrices over "model"."""
+    replicated = NamedSharding(mesh, P())
+
+    def spec_for(path, leaf):
+        if tp:
+            s = _path_str(path)
+            for pattern, spec in _TP_RULES:
+                if re.search(pattern, s):
+                    # only shard when the dimension divides the axis size
+                    axis_size = mesh.shape["model"]
+                    dim = 1 if spec == P(None, "model") else 0
+                    if leaf.ndim == 2 and leaf.shape[dim] % axis_size == 0:
+                        return NamedSharding(mesh, spec)
+        return replicated
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host Batch onto the mesh with M sharded over "data"."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jax.numpy.asarray(x), sh), batch)

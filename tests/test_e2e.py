@@ -1,0 +1,96 @@
+"""End-to-end slice: the four CLIs chained on a synthetic ETH-style dataset,
+plus the driver entry points (single-chip jit + 8-device dry run)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_synthetic_eth(root, split, n_frames=30, n_peds=3, seed=0):
+    os.makedirs(os.path.join(root, "eth", split), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    rows = []
+    starts = rng.standard_normal((n_peds, 2)) * 3
+    vels = rng.standard_normal((n_peds, 2)) * 0.3
+    for f in range(n_frames):
+        for p in range(n_peds):
+            xy = starts[p] + vels[p] * f + rng.standard_normal(2) * 0.02
+            rows.append([f * 10, p + 1, xy[0], xy[1]])
+    np.savetxt(os.path.join(root, "eth", split, "seq.csv"),
+               np.asarray(rows), delimiter=",")
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    data_root = str(ws / "datasets")
+    write_synthetic_eth(data_root, "train", seed=0)
+    write_synthetic_eth(data_root, "test", seed=1)
+    return {"data_root": data_root, "ckpt_dir": str(ws / "ckpts")}
+
+
+COMMON = ["--dataset", "eth", "--hidden_dim", "16", "--zdim", "8",
+          "--sample_k", "4", "--min_clip", "0.0", "--seed", "1"]
+
+
+@pytest.mark.e2e
+def test_full_two_stage_pipeline(workspace):
+    from sttode_tpu.cli import test as test_cli
+    from sttode_tpu.cli import test_sampler as test_sampler_cli
+    from sttode_tpu.cli import train as train_cli
+    from sttode_tpu.cli import trainsampler as trainsampler_cli
+
+    io_args = ["--data_root", workspace["data_root"],
+               "--ckpt_dir", workspace["ckpt_dir"]]
+
+    # stage 1: 2 epochs, checkpoint every epoch
+    train_cli.main(COMMON + io_args + ["--num_epochs", "2",
+                                       "--model_save_epoch", "1"])
+    ckpts = os.listdir(os.path.join(workspace["ckpt_dir"], "eth"))
+    assert "model_0001" in ckpts and "model_0002" in ckpts
+
+    # stage-1 eval sweep
+    best = test_cli.main(COMMON + io_args + ["--sweep", "2"])
+    assert np.isfinite(best["ade"]) and best["ade"] > 0
+
+    # stage 2: sampler on the frozen net
+    trainsampler_cli.main(COMMON + io_args + [
+        "--num_epochs", "1", "--model_save_epoch", "1",
+        "--qnet_mlp", "32", "16", "--nz", "8", "--kld_min_clamp", "0.0"])
+    sdir = os.path.join(workspace["ckpt_dir"], "eth", "sampler")
+    assert os.path.isdir(sdir) and os.listdir(sdir)
+
+    # stage-2 eval sweep
+    best2 = test_sampler_cli.main(COMMON + io_args + [
+        "--sweep", "1", "--qnet_mlp", "32", "16", "--nz", "8"])
+    assert np.isfinite(best2["ade"])
+
+
+@pytest.mark.e2e
+def test_resume_from_checkpoint(workspace):
+    from sttode_tpu.cli import train as train_cli
+    io_args = ["--data_root", workspace["data_root"],
+               "--ckpt_dir", workspace["ckpt_dir"]]
+    # resume from epoch 2 and run to 3
+    train_cli.main(COMMON + io_args + ["--num_epochs", "3",
+                                       "--model_save_epoch", "1",
+                                       "--epoch_continue", "2"])
+    ckpts = os.listdir(os.path.join(workspace["ckpt_dir"], "eth"))
+    assert "model_0003" in ckpts
+
+
+class TestGraftEntry:
+    def test_entry_jits(self):
+        import jax
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        loss = jax.jit(fn)(*args)
+        assert np.isfinite(float(loss))
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)

@@ -1,0 +1,177 @@
+"""L6 + parallel tests: compiled train steps, schedulers, checkpointing, and
+multi-device DP/TP on the 8-device virtual CPU mesh (SURVEY.md §4(f))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from sttode_tpu.models import (
+    Batch, STTODEConfig, SamplerConfig, sampler_init, sttode_init,
+)
+from sttode_tpu.parallel import make_mesh, param_sharding, shard_batch
+from sttode_tpu.train import (
+    ReduceOnPlateau, lambda_lr, load_checkpoint, latest_checkpoint,
+    make_sampler_train_step, make_train_step, save_checkpoint, step_lr,
+    train_epoch,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                past_length=8, future_length=12, sample_k=4, min_clip=0.0)
+    base.update(kw)
+    return STTODEConfig(**base)
+
+
+def make_batch(rng, B=2, N=4, Tp=8, Tf=12):
+    M = B * N
+    past = rng.standard_normal((M, Tp, 2)).astype(np.float32)
+    fut = rng.standard_normal((M, Tf, 2)).astype(np.float32)
+    past_vel = np.diff(past, axis=1, prepend=past[:, :1])
+    fut_vel = np.diff(np.concatenate([past[:, -1:], fut], 1), axis=1)
+    return Batch(past=jnp.asarray(past), past_vel=jnp.asarray(past_vel),
+                 future=jnp.asarray(fut), future_vel=jnp.asarray(fut_vel),
+                 valid=jnp.ones((M,), jnp.float32), batch_size=B, agent_num=N)
+
+
+class TestTrainStep:
+    def test_single_device_step(self, rng):
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, opt, donate=False)
+        batch = make_batch(rng)
+        p2, o2, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["total"]))
+        # params actually moved
+        d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   params, p2)
+        assert max(jax.tree_util.tree_leaves(d)) > 0
+
+    def test_train_epoch_driver(self, rng):
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, opt, donate=False)
+        batches = [(make_batch(rng), None) for _ in range(3)]
+        params, opt_state, means = train_epoch(step, params, opt_state,
+                                               batches, jax.random.PRNGKey(2))
+        assert set(means) == {"total", "pred", "recover", "kl", "diverse"}
+
+
+class TestMeshDP:
+    def test_dp_matches_single_device(self, rng):
+        """Same params/batch/key: the 8-way DP step must match the
+        single-device step numerically."""
+        assert jax.device_count() >= 8, "conftest forces 8 CPU devices"
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        batch = make_batch(rng, B=2, N=4)   # M=8 rows → 1 per device
+
+        step1 = make_train_step(cfg, opt, donate=False)
+        p1, _, m1 = step1(params, opt_state, batch, jax.random.PRNGKey(1))
+
+        mesh = make_mesh(dp=8, tp=1)
+        stepm = make_train_step(cfg, opt, mesh=mesh, params_like=params,
+                                donate=False)
+        pm_in = jax.device_put(params, param_sharding(params, mesh))
+        bm = shard_batch(batch, mesh)
+        pm, _, mm = stepm(pm_in, opt_state, bm, jax.random.PRNGKey(1))
+
+        np.testing.assert_allclose(float(m1["total"]), float(mm["total"]),
+                                   rtol=1e-5)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), p1, pm)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+    def test_tp_sharding_rules_applied(self):
+        cfg = tiny_cfg(ff_dim=64)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(dp=4, tp=2)
+        sh = param_sharding(params, mesh, tp=True)
+        flat = jax.tree_util.tree_leaves_with_path(sh)
+        sharded = [p for p, s in flat if "model" in str(s.spec)]
+        assert len(sharded) > 0, "TP rules matched nothing"
+
+    def test_tp_step_runs_and_matches(self, rng):
+        cfg = tiny_cfg(ff_dim=64)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        batch = make_batch(rng, B=2, N=4)
+        step1 = make_train_step(cfg, opt, donate=False)
+        p1, _, m1 = step1(params, opt_state, batch, jax.random.PRNGKey(1))
+
+        mesh = make_mesh(dp=4, tp=2)
+        stepm = make_train_step(cfg, opt, mesh=mesh, tp=True,
+                                params_like=params, donate=False)
+        pm_in = jax.device_put(params, param_sharding(params, mesh, tp=True))
+        bm = shard_batch(batch, mesh)
+        pm, _, mm = stepm(pm_in, opt_state, bm, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(m1["total"]), float(mm["total"]),
+                                   rtol=1e-4)
+
+
+class TestSamplerStep:
+    def test_sampler_step(self, rng):
+        cfg = tiny_cfg()
+        scfg = SamplerConfig(nk=4, nz=cfg.zdim, qnet_mlp=(32, 16),
+                             kld_min_clamp=0.0)
+        net = sttode_init(jax.random.PRNGKey(0), cfg)
+        sp = sampler_init(jax.random.PRNGKey(1), scfg,
+                          pred_model_dim=cfg.hidden_dim,
+                          past_feature_dim=2 * cfg.hidden_dim)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(sp)
+        step = make_sampler_train_step(cfg, scfg, opt, donate=False)
+        batch = make_batch(rng, B=1, N=3)
+        sp2, o2, metrics = step(sp, net, opt_state, batch,
+                                jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["total"]))
+        assert "kld" in metrics and "diverse" in metrics
+
+
+class TestSchedulers:
+    def test_step_lr(self):
+        s = step_lr(1e-4, 10, 0.5)
+        assert s(0) == pytest.approx(1e-4)
+        assert s(9) == pytest.approx(1e-4)
+        assert s(10) == pytest.approx(5e-5)
+        assert s(25) == pytest.approx(2.5e-5)
+
+    def test_lambda_lr(self):
+        s = lambda_lr(1e-3, fix_epochs=5, total_epochs=15)
+        assert s(4) == pytest.approx(1e-3)
+        assert s(5) < 1e-3 or s(5) == pytest.approx(1e-3)
+        assert s(14) < s(6)
+
+    def test_plateau(self):
+        p = ReduceOnPlateau(1.0, factor=0.5, patience=1)
+        p.step(10.0)
+        p.step(10.0)  # bad 1
+        lr = p.step(10.0)  # bad 2 > patience → decay
+        assert lr == pytest.approx(0.5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, rng, tmp_path):
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        path = save_checkpoint(str(tmp_path), 5, params, opt_state, cfg)
+        assert latest_checkpoint(str(tmp_path)) == path
+        p2, o2, epoch, cfg2 = load_checkpoint(
+            path, template={"params": params, "opt_state": opt_state,
+                            "epoch": np.asarray(0)})
+        assert epoch == 5
+        assert cfg2 == cfg
+        chex_equal = jax.tree_util.tree_map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), params, p2)
+        assert all(jax.tree_util.tree_leaves(chex_equal))
