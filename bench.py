@@ -31,6 +31,8 @@ AGENTS = 11
 
 
 def main():
+    from sttode_tpu.utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
     import jax
     import jax.numpy as jnp
     import optax

@@ -1,0 +1,96 @@
+"""Pallas fused MHGSA kernel vs the pure-jnp reference path (interpret mode on
+the CPU mesh — same program, exact semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sttode_tpu.kernels import fused_geodesic_attention
+from sttode_tpu.nn.attention import geodesic_attention
+
+
+def ref_attention(q, k, v, mask=None):
+    out, _ = geodesic_attention(q, k, v, mask=mask, compat="tpu")
+    return out
+
+
+class TestFusedForward:
+    def test_matches_jnp_path(self, rng):
+        q = jnp.asarray(rng.standard_normal((3, 2, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 2, 16, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((3, 2, 16, 8)), jnp.float32)
+        fused = fused_geodesic_attention(q, k, v, interpret=True)
+        ref = ref_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_rectangular_and_mask(self, rng):
+        q = jnp.asarray(rng.standard_normal((2, 5, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 9, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 9, 8)), jnp.float32)
+        mask = jnp.zeros((2, 5, 9)).at[:, :, -3:].set(-jnp.inf)
+        fused = fused_geodesic_attention(q, k, v, mask=mask, interpret=True)
+        ref = ref_attention(q, k, v, mask=mask)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_unaligned_shapes_pad_correctly(self, rng):
+        # L=7, S=13, Dh=5 — nothing aligned to (8, 128)
+        q = jnp.asarray(rng.standard_normal((1, 7, 5)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 13, 5)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 13, 5)), jnp.float32)
+        fused = fused_geodesic_attention(q, k, v, interpret=True)
+        ref = ref_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=3e-5)
+
+
+class TestFusedBackward:
+    def test_grads_match_jnp_path(self, rng):
+        q = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_geodesic_attention(q, k, v, interpret=True)
+                           * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(ref_attention(q, k, v) * w)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, err_msg=f"d{name}")
+
+    def test_grads_with_mask(self, rng):
+        q = jnp.asarray(rng.standard_normal((1, 4, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 7, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 7, 8)), jnp.float32)
+        mask = jnp.zeros((1, 4, 7)).at[:, :, -2:].set(-jnp.inf)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_geodesic_attention(
+                q, k, v, mask=mask, interpret=True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(ref_attention(q, k, v, mask=mask) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    def test_grad_finite_identical_qk(self, rng):
+        """q == k puts the diagonal at the clip boundary — the clip gate must
+        zero those grads, not NaN them."""
+        x = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+
+        def loss(x):
+            return jnp.sum(fused_geodesic_attention(x, x, v, interpret=True))
+
+        g = jax.grad(loss)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
