@@ -1,0 +1,111 @@
+"""Ring sequence-parallel geodesic attention (SP/CP demonstrator).
+
+The reference has no sequence parallelism and none is *needed* at its scale
+(≤128 attended tokens — SURVEY.md §5.7); this is the capability hook §2.6
+identifies: MHGSA's score is a per-pair ``-acos(q̂·k̂)``, so blockwise/streaming
+softmax decompositions carry over from dot-product attention unchanged.
+
+Mechanics (ring attention à la Liu et al., blockwise-parallel transformers):
+the key/value token axis is sharded over a mesh axis; each device keeps its
+query shard resident and accumulates online-softmax statistics (running max m,
+normalizer l, weighted accumulator acc) while K/V shards rotate around the
+ring via ``lax.ppermute`` — ICI traffic overlaps the per-block MXU work, and
+no device ever materializes the full [L, S] score matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sttode_tpu.manifolds import oblique
+
+NEG_INF = -1e30
+
+
+def _block_scores(q, k):
+    """-acos geodesic scores for one block: [B, L, D] × [B, S, D] → [B, L, S]."""
+    qn = oblique.proj(q)
+    kn = oblique.proj(k)
+    g = jnp.einsum("bld,bsd->bls", qn, kn,
+                   precision=jax.lax.Precision.HIGHEST)
+    eps = 1e-4
+    return -jnp.arccos(jnp.clip(g, -1.0 + eps, 1.0 - eps))
+
+
+def _ring_body(q, k0, v0, axis_name: str, kv_valid0=None):
+    """Runs inside shard_map: q local [B, L, D]; k0/v0 local KV shard
+    [B, Sb, D]; kv_valid0 [B, Sb] 1/0 marks real tokens of the local shard."""
+    n = jax.lax.psum(1, axis_name)
+    B, L, D = q.shape
+    Sb = k0.shape[1]
+    if kv_valid0 is None:
+        kv_valid0 = jax.lax.pvary(jnp.ones((B, Sb), q.dtype), axis_name)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        k, v, valid, m, l, acc = carry
+        s = _block_scores(q, k)                          # [B, L, Sb]
+        s = jnp.where(valid[:, None, :] > 0, s, NEG_INF)
+        blk_max = jnp.max(s, axis=-1)                    # [B, L]
+        m_new = jnp.maximum(m, blk_max)
+        scale = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])                # [B, L, Sb]
+        l_new = l * scale + jnp.sum(p, axis=-1)
+        acc_new = acc * scale[..., None] + jnp.einsum(
+            "bls,bsd->bld", p, v, precision=jax.lax.Precision.HIGHEST)
+        # rotate the KV shard (and its validity) around the ring
+        k = jax.lax.ppermute(k, axis_name, perm)
+        v = jax.lax.ppermute(v, axis_name, perm)
+        valid = jax.lax.ppermute(valid, axis_name, perm)
+        return (k, v, valid, m_new, l_new, acc_new), None
+
+    # initial accumulators must be typed as device-varying for the scan carry
+    # (shard_map varying-manual-axes typing)
+    m0 = jax.lax.pvary(jnp.full((B, L), NEG_INF, q.dtype), axis_name)
+    l0 = jax.lax.pvary(jnp.zeros((B, L), q.dtype), axis_name)
+    acc0 = jax.lax.pvary(jnp.zeros((B, L, D), q.dtype), axis_name)
+    (_, _, _, m, l, acc), _ = jax.lax.scan(
+        step, (k0, v0, kv_valid0, m0, l0, acc0), None, length=n)
+    return acc / jnp.maximum(l, 1e-30)[..., None]
+
+
+def ring_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            mesh: Mesh, *, axis: str = "data",
+                            kv_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Sequence-parallel MHGSA core over ``mesh[axis]``.
+
+    q [B, L, D], k/v [B, S, D] with S divisible by the axis size; the token
+    axes of q and k/v are sharded, batch replicated. Returns [B, L, D] sharded
+    like q. Numerics match dense softmax(-acos)·V to fp32 tolerance.
+    """
+    n = mesh.shape[axis]
+    assert k.shape[1] % n == 0, f"S={k.shape[1]} must divide over {axis}={n}"
+    assert q.shape[1] % n == 0, f"L={q.shape[1]} must divide over {axis}={n}"
+
+    body = functools.partial(_ring_body, axis_name=axis)
+    specs_in = (P(None, axis, None), P(None, axis, None), P(None, axis, None))
+    if kv_valid is not None:
+        fn = jax.shard_map(
+            lambda q, k, v, val: body(q, k, v, kv_valid0=val),
+            mesh=mesh, in_specs=specs_in + (P(None, axis),),
+            out_specs=P(None, axis, None))
+        return fn(q, k, v, kv_valid)
+    fn = jax.shard_map(lambda q, k, v: body(q, k, v),
+                       mesh=mesh, in_specs=specs_in,
+                       out_specs=P(None, axis, None))
+    return fn(q, k, v)
+
+
+def dense_reference(q, k, v, kv_valid=None):
+    """Unsharded oracle for tests: softmax_j(-acos(q̂·k̂ᵀ))·V."""
+    s = _block_scores(q, k)
+    if kv_valid is not None:
+        s = jnp.where(kv_valid[:, None, :] > 0, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bls,bsd->bld", p, v,
+                      precision=jax.lax.Precision.HIGHEST)

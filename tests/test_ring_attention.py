@@ -1,0 +1,54 @@
+"""Ring sequence-parallel attention vs the dense oracle on the 8-device CPU
+mesh (sharded == unsharded numerics, SURVEY.md §4(f))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sttode_tpu.parallel import make_mesh
+from sttode_tpu.parallel.ring_attention import (
+    dense_reference, ring_geodesic_attention,
+)
+
+
+class TestRingAttention:
+    def test_matches_dense(self, rng):
+        mesh = make_mesh(dp=8, tp=1)
+        B, L, S, D = 2, 16, 24, 8    # L, S divisible by 8
+        q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        out = ring_geodesic_attention(q, k, v, mesh)
+        ref = dense_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_with_padding_mask(self, rng):
+        mesh = make_mesh(dp=8, tp=1)
+        B, L, S, D = 1, 8, 32, 8
+        q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        valid = jnp.ones((B, S)).at[:, -10:].set(0.0)
+        out = ring_geodesic_attention(q, k, v, mesh, kv_valid=valid)
+        ref = dense_reference(q, k, v, kv_valid=valid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_grads_flow(self, rng):
+        mesh = make_mesh(dp=8, tp=1)
+        B, L, S, D = 1, 8, 8, 8
+        q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+
+        def loss_ring(q):
+            return jnp.sum(ring_geodesic_attention(q, k, v, mesh) ** 2)
+
+        def loss_dense(q):
+            return jnp.sum(dense_reference(q, k, v) ** 2)
+
+        g_ring = jax.grad(loss_ring)(q)
+        g_dense = jax.grad(loss_dense)(q)
+        np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_dense),
+                                   atol=5e-5)
