@@ -2,19 +2,23 @@
 
 Fuses the whole score path of reference hyptransformerlib.py:251-305 —
 row-normalize → Gram (MXU) → clip → acos → negate → (+mask) → softmax →
-weights·V (MXU) — into one VMEM-resident kernel, with a custom VJP whose
-backward recomputes the score matrix instead of materializing it to HBM
+weights·V — into one VMEM-resident kernel, with a custom VJP whose backward
+recomputes the score matrix instead of materializing it to HBM
 (flash-attention-style recompute; the O(L·S) intermediate never leaves VMEM).
 
 Orientation: the kernel always computes ``scores[i,j] = -acos(q̂_i · k̂_j)``
 with softmax over j. The reference's transposed square-case orientation
-(quirk Q3) is the SAME program with q and k swapped — handled by the caller
-(`sttode_tpu.nn.attention` routes through :func:`fused_geodesic_attention`).
+(quirk Q3) is the SAME program with q and k swapped — handled by the caller.
 
-Numerics: all accumulation in fp32 (``preferred_element_type``) — the acos
-gradient ~(1-g²)^(-1/2) amplifies Gram error near ±1, so bf16 Gram passes are
-not acceptable here (same reasoning as manifolds.oblique.inner). The clip
-constant matches the reference's EPS table (oblique.py:7).
+Numerics: Gram accumulates with ``Precision.HIGHEST`` — the acos gradient
+~(1-g²)^(-1/2) amplifies Gram error near ±1, so bf16 MXU passes are not
+acceptable here (same reasoning as manifolds.oblique.inner; measured 3.4e-3
+output error with default precision vs 1e-5 with HIGHEST). The clip constant
+matches the reference's EPS table (oblique.py:7).
+
+HBM traffic: the unmasked path (the model's common case — quirk Q2 drops
+masks) carries NO [L, S] mask array; padded key columns are disabled by an
+in-kernel iota predicate, so the kernel reads only q, k, v.
 
 Backward math (derived, not traced):
     dv  = pᵀ·do
@@ -40,6 +44,7 @@ NEG_INF = -1e30
 
 _LANE = 128
 _SUBLANE = 8
+_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _round_up(x: int, m: int) -> int:
@@ -68,65 +73,75 @@ def _acos(x):
     return jnp.where(x >= 0, r, jnp.pi - r)
 
 
-def _scores(qn, kn):
-    g = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PRECISION)
+
+
+def _scores(qn, kn, s_real: int):
+    g = _dot(qn, kn, ((1,), (1,)))
     gc = jnp.clip(g, -1.0 + EPS, 1.0 - EPS)
-    return g, gc, -_acos(gc)
+    s = -_acos(gc)
+    # disable padded key columns without a materialized mask
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < s_real, s, NEG_INF)
+    return g, gc, s
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    """One (batch·head, q-tile) program: full-S fused attention row block."""
-    q = q_ref[0]                      # [TL, Dh]
-    k = k_ref[0]                      # [S, Dh]
-    v = v_ref[0]                      # [S, Dh]
-    qn, _ = _normalize_rows(q)
-    kn, _ = _normalize_rows(k)
-    _, _, s = _scores(qn, kn)         # [TL, S]
-    s = s + mask_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+def _make_fwd_kernel(s_real: int, has_mask: bool):
+    def kernel(q_ref, k_ref, v_ref, *rest):
+        if has_mask:
+            mask_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+        qn, _ = _normalize_rows(q_ref[0])
+        kn, _ = _normalize_rows(k_ref[0])
+        _, _, s = _scores(qn, kn, s_real)
+        if has_mask:
+            s = s + mask_ref[0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0] = _dot(p, v_ref[0], ((1,), (0,)))
+    return kernel
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
-                dq_ref, dk_ref, dv_ref):
-    """Recompute scores, apply the derived VJP chain. One program per
-    batch·head (full L×S block — model-scale L,S stay VMEM-resident)."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    qn, q_norm = _normalize_rows(q)
-    kn, k_norm = _normalize_rows(k)
-    g, gc, s = _scores(qn, kn)
-    s = s + mask_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)           # [L, S]
+def _make_bwd_kernel(s_real: int, has_mask: bool):
+    def kernel(q_ref, k_ref, v_ref, *rest):
+        if has_mask:
+            mask_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
+        else:
+            do_ref, dq_ref, dk_ref, dv_ref = rest
+        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        qn, q_norm = _normalize_rows(q)
+        kn, k_norm = _normalize_rows(k)
+        g, gc, s = _scores(qn, kn, s_real)
+        if has_mask:
+            s = s + mask_ref[0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)           # [L, S]
 
-    dv_ref[0] = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    inside = jnp.abs(g) < (1.0 - EPS)
-    dg = jnp.where(inside, ds * jax.lax.rsqrt(
-        jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)         # [L, S]
-    dqn = jax.lax.dot_general(dg, kn, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dkn = jax.lax.dot_general(dg, qn, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dq_ref[0] = (dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) / \
-        jnp.maximum(q_norm, NORM_FLOOR)
-    dk_ref[0] = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) / \
-        jnp.maximum(k_norm, NORM_FLOOR)
+        dv_ref[0] = _dot(p, do, ((0,), (0,)))
+        dp = _dot(do, v, ((1,), (1,)))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        inside = jnp.abs(g) < (1.0 - EPS)
+        dg = jnp.where(inside, ds * jax.lax.rsqrt(
+            jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)         # [L, S]
+        dqn = _dot(dg, kn, ((1,), (0,)))
+        dkn = _dot(dg, qn, ((0,), (0,)))
+        dq_ref[0] = (dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) / \
+            jnp.maximum(q_norm, NORM_FLOOR)
+        dk_ref[0] = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) / \
+            jnp.maximum(k_norm, NORM_FLOOR)
+    return kernel
 
 
 def _pad_inputs(q, k, v, mask):
-    """Pad (L, S, Dh) to hardware tiles; padded S columns get -inf mask."""
+    """Pad (L, S, Dh) to hardware tiles. With an explicit mask, padded key
+    columns get -inf there; without one the kernel's iota predicate covers
+    padding and no mask array exists at all."""
     B, L, Dh = q.shape
     S = k.shape[1]
     Lp = _round_up(L, _SUBLANE)
@@ -136,10 +151,10 @@ def _pad_inputs(q, k, v, mask):
     qp = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(q)
     kp = jnp.zeros((B, Sp, Dp), jnp.float32).at[:, :S, :Dh].set(k)
     vp = jnp.zeros((B, Sp, Dp), jnp.float32).at[:, :S, :Dh].set(v)
-    mp = jnp.full((B, Lp, Sp), NEG_INF, jnp.float32)
-    base = jnp.zeros((B, L, S), jnp.float32) if mask is None else \
-        jnp.broadcast_to(mask, (B, L, S)).astype(jnp.float32)
-    mp = mp.at[:, :L, :S].set(base)
+    mp = None
+    if mask is not None:
+        mp = jnp.zeros((B, Lp, Sp), jnp.float32)
+        mp = mp.at[:, :L, :S].set(mask.astype(jnp.float32))
     return qp, kp, vp, mp, (L, S, Dh, Lp, Sp, Dp)
 
 
@@ -149,40 +164,42 @@ def _fused_core(q, k, v, mask, interpret):
     return out
 
 
-def _pallas_fwd(qp, kp, vp, mp, dims, interpret):
+def _fused_fwd(q, k, v, mask, interpret):
+    qp, kp, vp, mp, dims = _pad_inputs(q, k, v, mask)
     B = qp.shape[0]
     L, S, Dh, Lp, Sp, Dp = dims
     tile_l = min(Lp, 256)
     grid = (B, Lp // tile_l)
-    return pl.pallas_call(
-        _fwd_kernel,
+    has_mask = mp is not None
+
+    in_specs = [
+        pl.BlockSpec((1, tile_l, Dp), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qp, kp, vp]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, tile_l, Sp), lambda b, i: (b, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mp)
+
+    op = pl.pallas_call(
+        _make_fwd_kernel(S, has_mask),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_l, Dp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_l, Sp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_l, Dp), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Lp * Sp * (2 * Dp + 1),
-            bytes_accessed=4 * B * (Lp * Dp * 2 + 2 * Sp * Dp + Lp * Sp),
+            bytes_accessed=4 * B * (Lp * Dp * 2 + 2 * Sp * Dp),
             transcendentals=B * Lp * Sp,
         ),
         interpret=interpret,
-    )(qp, kp, vp, mp)
-
-
-def _fused_fwd(q, k, v, mask, interpret):
-    qp, kp, vp, mp, dims = _pad_inputs(q, k, v, mask)
-    L, S, Dh = dims[:3]
-    op = _pallas_fwd(qp, kp, vp, mp, dims, interpret)
+    )(*args)
     return op[:, :L, :Dh], (q, k, v, mask)
 
 
@@ -192,17 +209,26 @@ def _fused_bwd(interpret, res, do):
     B = qp.shape[0]
     L, S, Dh, Lp, Sp, Dp = dims
     dop = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(do)
-    grid = (B,)
+    has_mask = mp is not None
+
     spec_q = pl.BlockSpec((1, Lp, Dp), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_k = pl.BlockSpec((1, Sp, Dp), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_m = pl.BlockSpec((1, Lp, Sp), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [spec_q, spec_k, spec_k]
+    args = [qp, kp, vp]
+    if has_mask:
+        in_specs.append(spec_m)
+        args.append(mp)
+    in_specs.append(spec_q)
+    args.append(dop)
+
     dq, dk, dv = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
-        in_specs=[spec_q, spec_k, spec_k, spec_m, spec_q],
+        _make_bwd_kernel(S, has_mask),
+        grid=(B,),
+        in_specs=in_specs,
         out_specs=[spec_q, spec_k, spec_k],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
@@ -210,7 +236,7 @@ def _fused_bwd(interpret, res, do):
             jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, mp, dop)
+    )(*args)
     d_mask = None if mask is None else jnp.zeros_like(mask)
     return (dq[:, :L, :Dh], dk[:, :S, :Dh], dv[:, :S, :Dh], d_mask)
 
