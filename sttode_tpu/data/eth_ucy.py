@@ -56,10 +56,11 @@ def _file_scenes(data: np.ndarray, obs_len: int, pred_len: int, skip: int,
         for ped in np.unique(window_rows[:, 1]):
             ped_rows = np.around(window_rows[window_rows[:, 1] == ped],
                                  decimals=4)
-            # full contiguous coverage: first..last frame spans the window
+            # full contiguous coverage: first..last frame spans the window AND
+            # no interior gaps (one row per frame)
             first = np.searchsorted(window_frames, ped_rows[0, 0])
             last = np.searchsorted(window_frames, ped_rows[-1, 0])
-            if last - first + 1 != seq_len:
+            if last - first + 1 != seq_len or len(ped_rows) != seq_len:
                 continue
             xy = ped_rows[:, 2:4] / traj_scale            # [seq_len, 2]
             kept_xy.append(xy)
@@ -85,14 +86,34 @@ def _file_scenes(data: np.ndarray, obs_len: int, pred_len: int, skip: int,
 
 def load_eth_ucy(data_dir: str, *, obs_len: int = 8, pred_len: int = 12,
                  skip: int = 1, threshold: float = 0.002, min_ped: int = 1,
-                 traj_scale: float = 1.0) -> list[dict]:
-    """Load every CSV under ``data_dir`` into a list of scene dicts."""
+                 traj_scale: float = 1.0, backend: str = "auto") -> list[dict]:
+    """Load every CSV under ``data_dir`` into a list of scene dicts.
+
+    ``backend``: 'native' uses the C++ windowing engine
+    (sttode_tpu.native, the host hot-loop), 'python' the numpy path,
+    'auto' prefers native with fallback."""
+    use_native = backend in ("auto", "native")
+    if use_native:
+        from sttode_tpu.native import window_file
     scenes: list[dict] = []
     for fname in sorted(os.listdir(data_dir)):
         path = os.path.join(data_dir, fname)
         if not os.path.isfile(path):
             continue
         data = read_trajectory_csv(path)
-        scenes.extend(_file_scenes(data, obs_len, pred_len, skip, threshold,
-                                   min_ped, traj_scale, fname))
+        file_scenes = None
+        if use_native:
+            file_scenes = window_file(
+                data, obs_len=obs_len, pred_len=pred_len, skip=skip,
+                min_ped=min_ped, traj_scale=traj_scale, threshold=threshold)
+            if file_scenes is not None:
+                for s in file_scenes:
+                    s["seq_name"] = fname
+        if file_scenes is None:
+            if backend == "native":
+                raise RuntimeError("native windowing backend unavailable")
+            file_scenes = list(_file_scenes(
+                data, obs_len, pred_len, skip, threshold, min_ped,
+                traj_scale, fname))
+        scenes.extend(file_scenes)
     return scenes

@@ -102,17 +102,50 @@ def geodesic_scores(q: jnp.ndarray, k: jnp.ndarray, *,
     return -oblique.dist(qn, kn)          # [..., L, S]
 
 
+def _should_fuse(q, k, dropout_active: bool, need_weights: bool,
+                 fused: str | bool) -> bool:
+    """Route to the Pallas kernel only where it measured faster than XLA
+    fusion: large score matrices (TPU, L·S ≥ 256², e.g. ring/long-context
+    configs). At model scale (L=S≤128, Dh=8) XLA wins ~3× because the tiny
+    head dim pads 16× on the MXU — measured on v5e."""
+    if fused is True:
+        return True
+    if fused != "auto" or dropout_active or need_weights:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return q.shape[-2] * k.shape[-2] >= 256 * 256
+
+
 def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                        mask: jnp.ndarray | None = None,
                        dropout_rate: float = 0.0,
                        dropout_key=None,
                        deterministic: bool = True,
-                       compat: str = "reference"):
+                       compat: str = "reference",
+                       fused: str | bool = "auto",
+                       need_weights: bool = True):
     """Core attention: geodesic scores → (+mask) → softmax → dropout → @v.
 
     q [..., L, Dh], k/v [..., S, Dh], mask additive [..., L, S] or broadcastable.
-    Returns (out [..., L, Dh], weights [..., L, S]).
+    Returns (out [..., L, Dh], weights [..., L, S] or None when the fused
+    kernel path is taken).
+
+    ``fused``: True forces the Pallas kernel, False the jnp path, "auto"
+    routes by measured crossover (see `_should_fuse`). Both compat
+    orientations are served by the same kernel — the reference's transposed
+    square case (quirk Q3) is the kernel with q/k swapped.
     """
+    dropout_active = (not deterministic) and dropout_rate > 0.0
+    if _should_fuse(q, k, dropout_active, need_weights, fused):
+        from sttode_tpu.kernels.mhgsa import fused_geodesic_attention
+        square = q.shape[-2] == k.shape[-2]
+        if compat == "reference" and square:
+            out = fused_geodesic_attention(k, q, v, mask=mask)
+        else:
+            out = fused_geodesic_attention(q, k, v, mask=mask)
+        return out, None
+
     scores = geodesic_scores(q, k, compat=compat)
     if mask is not None:
         scores = scores + mask
@@ -166,9 +199,10 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
 
     out_h, w = geodesic_attention(
         qh, kh, vh, mask=mask, dropout_rate=dropout_rate,
-        dropout_key=dropout_key, deterministic=deterministic, compat=compat)
+        dropout_key=dropout_key, deterministic=deterministic, compat=compat,
+        need_weights=need_weights)
 
     out = merge_heads(out_h) @ params.out_proj_w + params.out_proj_b
-    if need_weights:
+    if need_weights and w is not None:
         return out, jnp.mean(w, axis=-3)  # average over heads
     return out, None
