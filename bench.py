@@ -13,6 +13,7 @@ per-iteration timing ballpark; updated when a retrained baseline lands).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -55,7 +56,7 @@ def main():
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key):
         def loss_fn(p):
             return sttode_forward(p, cfg, batch, key, train=True).total_loss

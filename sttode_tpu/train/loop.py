@@ -90,14 +90,19 @@ def make_sampler_train_step(cfg: STTODEConfig, scfg: SamplerConfig,
 
 def train_epoch(step_fn: Callable, params, opt_state,
                 batches: Iterable[tuple[Batch, Any]], key, *,
-                log_every: int = 0, log_fn=print) -> tuple:
+                log_every: int = 0, log_fn=print,
+                prefetch_depth: int = 2) -> tuple:
     """Drive one epoch over host-prepared batches. Returns
-    (params, opt_state, mean-metrics)."""
+    (params, opt_state, mean-metrics). Batches flow through a background
+    prefetch thread so host prep + H2D overlap device compute."""
+    from sttode_tpu.data.prefetch import prefetch as _prefetch
+
     sums: dict[str, float] = {}
     count = 0
-    for i, (batch, _aux) in enumerate(batches):
+    stream = _prefetch(batches, size=prefetch_depth) if prefetch_depth \
+        else batches
+    for i, (batch, _aux) in enumerate(stream):
         key, sub = jax.random.split(key)
-        batch = jax.tree_util.tree_map(jnp.asarray, batch)
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub)
         count += 1
         for k, v in metrics.items():
