@@ -25,6 +25,10 @@ def main(argv=None):
     parser = common.base_parser("STTODE stage-1 evaluation (TPU)")
     parser.add_argument("--sweep", type=int, default=2,
                         help="evaluate the last N checkpoints")
+    parser.add_argument("--save_plots", default="",
+                        help="directory for best-of-K trajectory renderings "
+                             "(reference show.py / vis_result role)")
+    parser.add_argument("--max_plots", type=int, default=20)
     args = parser.parse_args(argv)
     cfg = common.model_config(args)
     cdir = common.ckpt_dir(args)
@@ -58,10 +62,39 @@ def main(argv=None):
             print(f"epoch {epoch}: ADE {ade:.4f} FDE {fde:.4f} "
                   f"miss {m['miss_rate']:.4f} ({m['agents']} agents)")
         if ade < best["ade"]:
-            best = {"ade": ade, "fde": fde, "epoch": epoch}
+            best = {"ade": ade, "fde": fde, "epoch": epoch,
+                    "params": params, "cfg": cfg_loaded}
     print(f"best (epoch {best['epoch']}): ADE: {best['ade']:.4f} "
           f"FDE: {best['fde']:.4f}")
+
+    if args.save_plots and args.dataset != "nba":
+        _render_plots(best["params"], best["cfg"], data, args)
+    best.pop("params", None)
+    best.pop("cfg", None)
     return best
+
+
+def _render_plots(params, cfg, scenes, args):
+    """Best-of-K fan renderings for the first --max_plots scenes."""
+    import jax.numpy as jnp
+    from sttode_tpu.data import prepare_scene
+    from sttode_tpu.evaluation import _infer
+    from sttode_tpu.utils.visualize import plot_best_of_k
+
+    os.makedirs(args.save_plots, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    for i, scene in enumerate(scenes[:args.max_plots]):
+        batch, orig = prepare_scene(scene, training=False)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        key, sub = jax.random.split(key)
+        preds = np.asarray(_infer(params, cfg, batch, sub, args.sample_k))
+        pred_k = np.transpose(preds, (1, 0, 2, 3)) + orig   # [N, K, T, 2]
+        out = os.path.join(args.save_plots, f"scene_{i:04d}.png")
+        plot_best_of_k(np.asarray(scene["obs"]), np.asarray(scene["pred"]),
+                       pred_k, save_path=out,
+                       title=f"{args.dataset} frame {scene['frame']:.0f}")
+    print(f"wrote {min(len(scenes), args.max_plots)} plots to "
+          f"{args.save_plots}")
 
 
 if __name__ == "__main__":

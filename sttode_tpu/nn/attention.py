@@ -163,7 +163,9 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
           dropout_key=None,
           deterministic: bool = True,
           compat: str = "reference",
-          need_weights: bool = False):
+          need_weights: bool = False,
+          bias_kv: tuple | None = None,
+          add_zero_attn: bool = False):
     """Full multi-head geodesic attention (reference hyp_mhsa semantics).
 
     query [..., L, E]; key/value [..., S, E]. Leading dims are batch. The packed
@@ -171,7 +173,12 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
     q is k is v (self-attention), split projections otherwise
     (hyptransformerlib.py:112-190).
 
-    Returns (out [..., L, E], head-averaged weights [..., L, S] or None).
+    ``bias_kv`` — optional learned (bias_k [E], bias_v [E]) appended as one
+    extra attendable position (reference add_bias_kv plumbing,
+    hyptransformerlib.py:196-216); ``add_zero_attn`` appends an all-zero
+    position (reference :241-255).
+
+    Returns (out [..., L, E], head-averaged weights [..., L, S'] or None).
     """
     E = query.shape[-1]
     head_dim = E // num_heads
@@ -186,6 +193,20 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
         q = query @ wq + bq
         k = key @ wk + bk
         v = value @ wv + bv
+
+    def _append_position(k, v, mask, k_extra, v_extra):
+        shape = (*k.shape[:-2], 1, k.shape[-1])
+        k = jnp.concatenate([k, jnp.broadcast_to(k_extra, shape)], axis=-2)
+        v = jnp.concatenate([v, jnp.broadcast_to(v_extra, shape)], axis=-2)
+        if mask is not None:
+            mask = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, 1)])
+        return k, v, mask
+
+    if bias_kv is not None:
+        k, v, mask = _append_position(k, v, mask, bias_kv[0], bias_kv[1])
+    if add_zero_attn:
+        zero = jnp.zeros((k.shape[-1],), k.dtype)
+        k, v, mask = _append_position(k, v, mask, zero, zero)
 
     # Quirk Q10: forward no-op after row normalization; kept for grad parity.
     q = q * (head_dim ** -0.5)

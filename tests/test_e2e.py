@@ -53,9 +53,13 @@ def test_full_two_stage_pipeline(workspace):
     ckpts = os.listdir(os.path.join(workspace["ckpt_dir"], "eth"))
     assert "model_0001" in ckpts and "model_0002" in ckpts
 
-    # stage-1 eval sweep
-    best = test_cli.main(COMMON + io_args + ["--sweep", "2"])
+    # stage-1 eval sweep, with trajectory renderings
+    plots_dir = os.path.join(workspace["ckpt_dir"], "plots")
+    best = test_cli.main(COMMON + io_args + ["--sweep", "2",
+                                             "--save_plots", plots_dir,
+                                             "--max_plots", "2"])
     assert np.isfinite(best["ade"]) and best["ade"] > 0
+    assert len(os.listdir(plots_dir)) == 2
 
     # stage 2: sampler on the frozen net
     trainsampler_cli.main(COMMON + io_args + [
