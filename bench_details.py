@@ -1,0 +1,146 @@
+"""Detailed performance report (BASELINE.md targets): training/inference
+throughput, ODE solver steps/sec, fused-MHGSA kernel TFLOP/s + roofline
+utilization. Writes BENCHMARKS.md. The driver-facing single-line bench stays
+in bench.py.
+
+Run on the attached TPU:  python bench_details.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from sttode_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sttode_tpu.models import Batch, STTODEConfig, sttode_forward, \
+    sttode_inference, sttode_init
+from sttode_tpu.nn import LayerConfig, encoder_stack_init
+from sttode_tpu.nn.ode_block import ode_encoder
+from sttode_tpu.kernels import fused_geodesic_attention
+from sttode_tpu.nn.attention import geodesic_attention
+from sttode_tpu.utils import profiling
+
+
+def make_batch(cfg, B, N, seed=0):
+    rng = np.random.default_rng(seed)
+    M = B * N
+    past = rng.standard_normal((M, cfg.past_length, 2)).astype(np.float32)
+    fut = rng.standard_normal((M, cfg.future_length, 2)).astype(np.float32)
+    pv = np.diff(past, axis=1, prepend=past[:, :1])
+    fv = np.diff(np.concatenate([past[:, -1:], fut], 1), axis=1)
+    return Batch(past=jnp.asarray(past), past_vel=jnp.asarray(pv),
+                 future=jnp.asarray(fut), future_vel=jnp.asarray(fv),
+                 valid=jnp.ones((M,), jnp.float32), batch_size=B, agent_num=N)
+
+
+def bench_train_and_infer(lines):
+    cfg = STTODEConfig(past_length=5, future_length=10)
+    B, N = 32, 11
+    batch = make_batch(cfg, B, N)
+    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            return sttode_forward(p, cfg, batch, key, train=True).total_loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, loss = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    iters = 30
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    lines.append(f"| train step (B=32 scenes × 11 agents, K=20 diverse) | "
+                 f"{dt * 1e3:.2f} ms | {B / dt:,.0f} scenes/s |")
+
+    infer = jax.jit(lambda p, k: sttode_inference(p, cfg, batch, k))
+    r = profiling.time_fn(infer, params, jax.random.PRNGKey(2), iters=30)
+    dt = r["seconds_per_call"]
+    lines.append(f"| inference best-of-20 (same batch) | {dt * 1e3:.2f} ms | "
+                 f"{B / dt:,.0f} scenes/s |")
+
+
+def bench_ode(lines):
+    cfg = LayerConfig(d_model=64, num_heads=8, ff_dim=1024)
+    params = encoder_stack_init(jax.random.PRNGKey(0), cfg, 1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (32, 11, 1, 64)), jnp.float32)
+    for method, steps in (("euler", 1), ("rk4", 8), ("dopri5", 1)):
+        fn = jax.jit(lambda x, m=method, s=steps: ode_encoder(
+            params, x, cfg, time=12.0, method=m, steps=s))
+        r = profiling.time_fn(fn, x, iters=20)
+        evals = {"euler": steps, "rk4": 4 * steps, "dopri5": "adaptive"}[method]
+        lines.append(f"| ODE encoder {method} ({evals} RHS evals) | "
+                     f"{r['seconds_per_call'] * 1e3:.2f} ms | "
+                     f"{1 / r['seconds_per_call']:,.0f} solves/s |")
+
+
+def bench_kernel(lines):
+    for (B, L, S, Dh) in [(2816, 32, 32, 8), (64, 512, 512, 64),
+                          (16, 1024, 1024, 64)]:
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((B, L, Dh)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, Dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, Dh)), jnp.float32)
+        fused = jax.jit(lambda q, k, v: fused_geodesic_attention(
+            q, k, v, interpret=False))
+        xla = jax.jit(lambda q, k, v: geodesic_attention(
+            q, k, v, compat="tpu", fused=False)[0])
+        rf = profiling.time_fn(fused, q, k, v, iters=30)
+        rx = profiling.time_fn(xla, q, k, v, iters=30)
+        flops = 2 * B * L * S * (2 * Dh)   # Gram + AV matmuls
+        tf_f = flops / rf["seconds_per_call"] / 1e12
+        tf_x = flops / rx["seconds_per_call"] / 1e12
+        lines.append(
+            f"| MHGSA B{B}·L{L}·S{S}·D{Dh} | fused "
+            f"{rf['seconds_per_call'] * 1e6:.0f} µs ({tf_f:.2f} TF/s) | "
+            f"XLA {rx['seconds_per_call'] * 1e6:.0f} µs ({tf_x:.2f} TF/s) |")
+
+
+def main():
+    dev = jax.devices()[0]
+    lines = [
+        "# BENCHMARKS — measured on " + str(dev.device_kind),
+        "",
+        f"jax {jax.__version__}, backend {jax.default_backend()}; fp32 "
+        "params/compute, HIGHEST-precision Gram (acos numerics).",
+        "",
+        "| benchmark | latency | throughput |",
+        "|---|---|---|",
+    ]
+    bench_train_and_infer(lines)
+    bench_ode(lines)
+    lines.append("")
+    lines.append("| MHGSA shape | fused Pallas | XLA fusion |")
+    lines.append("|---|---|---|")
+    bench_kernel(lines)
+    lines.append("")
+    lines.append("Routing: `geodesic_attention(fused='auto')` picks the "
+                 "fused kernel above the measured crossover (L·S ≥ 256²), "
+                 "XLA below it — tiny head dims (Dh=8) pad 16× on the MXU "
+                 "so XLA's fusion wins at model scale.")
+    report = "\n".join(lines) + "\n"
+    with open("BENCHMARKS.md", "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

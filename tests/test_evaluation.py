@@ -1,0 +1,111 @@
+"""Evaluation harness tests: ETH/SDD scene protocol and the NBA horizon table
+against an independent mirror of the reference aggregation
+(test.py:495-588)."""
+
+import numpy as np
+import jax
+import pytest
+
+from sttode_tpu.evaluation import evaluate_nba, evaluate_scenes
+from sttode_tpu.models import STTODEConfig, sttode_init
+
+
+def tiny_cfg(**kw):
+    base = dict(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                past_length=5, future_length=10, sample_k=3)
+    base.update(kw)
+    return STTODEConfig(**base)
+
+
+class TestEvaluateScenes:
+    def test_protocol_runs_and_is_positive(self, rng):
+        cfg = tiny_cfg(past_length=8, future_length=12)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        scenes = [{"obs": rng.standard_normal((n, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((n, 12, 2)).astype(np.float32)}
+                  for n in (3, 5)]
+        m = evaluate_scenes(params, cfg, scenes, jax.random.PRNGKey(1),
+                            sample_k=3)
+        assert m["agents"] == 8
+        assert m["ade"] > 0 and m["fde"] > 0
+        assert 0.0 <= m["miss_rate"] <= 1.0
+
+    def test_origin_translation_invariance(self, rng):
+        """Shifting a scene's coordinates must not change ADE/FDE (the scene
+        origin is subtracted and re-added)."""
+        cfg = tiny_cfg(past_length=8, future_length=12)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        obs = rng.standard_normal((4, 8, 2)).astype(np.float32)
+        pred = rng.standard_normal((4, 12, 2)).astype(np.float32)
+        shift = np.float32([100.0, -50.0])
+        m1 = evaluate_scenes(params, cfg, [{"obs": obs, "pred": pred}],
+                             jax.random.PRNGKey(1), sample_k=3)
+        m2 = evaluate_scenes(params, cfg,
+                             [{"obs": obs + shift, "pred": pred + shift}],
+                             jax.random.PRNGKey(1), sample_k=3)
+        np.testing.assert_allclose(m1["ade"], m2["ade"], rtol=1e-4)
+        np.testing.assert_allclose(m1["fde"], m2["fde"], rtol=1e-4)
+
+
+class TestNbaHorizon:
+    def test_table_against_reference_mirror(self, rng):
+        """Feed a fixed fake predictor through evaluate_nba and check the
+        horizon aggregation against the reference's formula mirrored in
+        numpy."""
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        B, N = 4, 11
+        batches = [{
+            "past_traj": rng.standard_normal((B, N, 5, 2)).astype(np.float32),
+            "future_traj": rng.standard_normal((B, N, 10, 2)).astype(
+                np.float32),
+        } for _ in range(2)]
+
+        table = evaluate_nba(params, cfg, batches, jax.random.PRNGKey(1),
+                             sample_k=3)
+        assert set(table["ade"]) == {"1.0s", "2.0s", "3.0s", "4.0s"}
+        assert table["scenes"] == 8
+        # monotone-ish: 4s ADE uses the full horizon and is ≥ small-horizon
+        assert table["ade"]["4.0s"] > 0
+        # FDE@4s is the final-step min error, ADE@4s the mean — both positive
+        assert table["fde"]["4.0s"] > 0
+
+    def test_prefix_math_matches_reference_formula(self, rng):
+        """The per-prefix accumulation itself: evaluate_nba must equal the
+        reference's min-over-samples-of-prefix-mean computed directly."""
+        # bypass the model: monkeypatch _infer to a fixed prediction
+        import sttode_tpu.evaluation as ev
+
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        B, N, K, T = 2, 11, 3, 10
+        fut = rng.standard_normal((B * N, T, 2)).astype(np.float32)
+        preds = rng.standard_normal((K, B * N, T, 2)).astype(np.float32)
+
+        orig_infer = ev._infer
+        try:
+            ev._infer = lambda *a, **kw: preds
+            table = ev.evaluate_nba(
+                params, cfg,
+                [{"past_traj": rng.standard_normal((B, N, 5, 2)).astype(
+                    np.float32),
+                  "future_traj": fut.reshape(B, N, T, 2)}],
+                jax.random.PRNGKey(1), sample_k=K)
+        finally:
+            ev._infer = orig_infer
+
+        d = np.linalg.norm(np.transpose(preds, (1, 0, 2, 3)) -
+                           fut[:, None], axis=-1)          # [M, K, T]
+        def avg_prefix(t):
+            return d[:, :, :t].mean(-1).min(-1).mean()
+        def dest_at(t):
+            return d[:, :, t - 1].min(-1).mean()
+        np.testing.assert_allclose(table["ade"]["2.0s"], avg_prefix(5),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            table["ade"]["1.0s"], (avg_prefix(2) + avg_prefix(3)) / 2,
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            table["fde"]["3.0s"], (dest_at(7) + dest_at(8)) / 2, rtol=1e-5)
+        np.testing.assert_allclose(table["fde"]["4.0s"], dest_at(10),
+                                   rtol=1e-5)
