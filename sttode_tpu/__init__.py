@@ -25,3 +25,19 @@ STTODE reference (ICME 2025 pedestrian trajectory forecaster):
 """
 
 __version__ = "0.1.0"
+
+# Subpackages are imported lazily to keep `import sttode_tpu` free of jax
+# backend initialization cost. The full public surface:
+#   sttode_tpu.manifolds   — oblique / Poincaré / Euclidean math
+#   sttode_tpu.nn          — attention, transformer layers, ODE blocks,
+#                            hyperbolic layers, recurrence, embeddings
+#   sttode_tpu.kernels     — fused Pallas MHGSA
+#   sttode_tpu.ode         — odeint / odeint_adjoint
+#   sttode_tpu.models      — STTODE CVAE + diversity sampler
+#   sttode_tpu.data        — ETH-UCY/SDD/NBA pipelines, batching, prefetch
+#   sttode_tpu.native      — C++ windowing engine (ctypes)
+#   sttode_tpu.train       — steps, schedulers, checkpoints, guards, supervisor
+#   sttode_tpu.parallel    — mesh/sharding, ring sequence-parallel attention
+#   sttode_tpu.evaluation  — best-of-K + NBA horizon protocols
+#   sttode_tpu.utils       — metrics, distributions, viz, profiling, delta
+#   sttode_tpu.cli         — train / test / trainsampler / test_sampler

@@ -12,9 +12,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # compile speed over runtime speed: the suite is compile-dominated on the
+    # virtual CPU mesh (measured -40% wall clock, no numeric changes)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # The environment's sitecustomize imports jax at interpreter start (to register
@@ -23,6 +26,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: repeated suite runs hit warm XLA programs.
+from sttode_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(os.path.expanduser("~/.cache/sttode_jax_tests"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
