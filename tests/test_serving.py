@@ -1,0 +1,55 @@
+"""Serving Predictor: shapes, origin handling, determinism, bucketing."""
+
+import numpy as np
+import jax
+import pytest
+
+from sttode_tpu.models import STTODEConfig, sttode_init
+from sttode_tpu.serving import Predictor
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                       past_length=8, future_length=12, sample_k=4)
+    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    return Predictor(params, cfg)
+
+
+class TestPredictor:
+    def test_single_scene_shape(self, predictor, rng):
+        obs = rng.standard_normal((3, 8, 2)).astype(np.float32)
+        out = predictor.predict(obs, seed=1)
+        assert out.shape == (4, 3, 12, 2)
+        assert np.all(np.isfinite(out))
+
+    def test_deterministic_per_seed(self, predictor, rng):
+        obs = rng.standard_normal((3, 8, 2)).astype(np.float32)
+        a = predictor.predict(obs, seed=5)
+        b = predictor.predict(obs, seed=5)
+        c = predictor.predict(obs, seed=6)
+        np.testing.assert_array_equal(a, b)
+        assert not np.allclose(a, c)
+
+    def test_translation_equivariance(self, predictor, rng):
+        """Absolute-coordinate handling: shifting the scene shifts the
+        prediction (scene origin is subtracted/re-added)."""
+        obs = rng.standard_normal((2, 8, 2)).astype(np.float32)
+        shift = np.float32([50.0, -20.0])
+        a = predictor.predict(obs, seed=3)
+        b = predictor.predict(obs + shift, seed=3)
+        np.testing.assert_allclose(b, a + shift, atol=1e-3)
+
+    def test_many_scenes_mixed_buckets(self, predictor, rng):
+        scenes = [rng.standard_normal((n, 8, 2)).astype(np.float32)
+                  for n in (2, 7, 12, 3)]
+        outs = predictor.predict_many(scenes, seed=0)
+        for obs, out in zip(scenes, outs):
+            assert out.shape == (4, len(obs), 12, 2)
+
+    def test_bad_shape_raises(self, predictor, rng):
+        with pytest.raises(ValueError, match="expected"):
+            predictor.predict(rng.standard_normal((3, 5, 2)))
+
+    def test_warmup(self, predictor):
+        predictor.warmup([2, 9])
