@@ -61,6 +61,9 @@ class STTODEConfig(NamedTuple):
     attn_axis: str = "scene"      # "scene" (reference, Q4) | "agent"
     pe_dropout: float = 0.1
     dropout: float = 0.0
+    remat: bool = False           # jax.checkpoint the encoder trunks: trade
+                                  # recompute for activation memory at large
+                                  # batch/bucket sizes
 
     @property
     def layer_cfg(self) -> LayerConfig:
@@ -225,10 +228,18 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
 
 def encode_past(params: dict, cfg: STTODEConfig, batch: Batch, *, rng,
                 train: bool) -> jnp.ndarray:
-    """past_feature [M, 2D] (reference encode_history, model/STTODE.py:488-496)."""
-    return _encode_trunk(params["past_encoder"], cfg, batch.inputs,
-                         batch.batch_size, batch.agent_num, batch.valid,
-                         rng=rng, train=train)
+    """past_feature [M, 2D] (reference encode_history, model/STTODE.py:488-496).
+
+    With ``cfg.remat`` the trunk is wrapped in ``jax.checkpoint`` so the
+    backward pass recomputes trunk activations instead of storing them —
+    memory for FLOPs at large batch/bucket sizes."""
+    def trunk(p, inputs, valid):
+        return _encode_trunk(p, cfg, inputs, batch.batch_size,
+                             batch.agent_num, valid, rng=rng, train=train)
+
+    if cfg.remat:
+        trunk = jax.checkpoint(trunk)
+    return trunk(params["past_encoder"], batch.inputs, batch.valid)
 
 
 def encode_future(params: dict, cfg: STTODEConfig, batch: Batch,

@@ -217,3 +217,23 @@ class TestSampler:
                                  jax.random.PRNGKey(2), mean=False)
         assert not np.allclose(np.asarray(o_mean.dec_motion),
                                np.asarray(o_samp.dec_motion))
+
+
+class TestRemat:
+    def test_remat_matches_plain(self, rng):
+        cfg = tiny_cfg()
+        cfg_r = tiny_cfg(remat=True)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        batch = make_batch(rng, B=1, N=2)
+
+        def loss(p, c):
+            return sttode_forward(p, c, batch, jax.random.PRNGKey(1),
+                                  train=False).total_loss
+
+        l1, g1 = jax.value_and_grad(loss)(params, cfg)
+        l2, g2 = jax.value_and_grad(loss)(params, cfg_r)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
