@@ -41,6 +41,11 @@ def batch_stream(args, data, nprng, cfg):
 
 def main(argv=None):
     parser = common.base_parser("STTODE stage-1 CVAE training (TPU)")
+    parser.add_argument("--supervise", action="store_true",
+                        help="enable divergence detection + rollback "
+                             "(train.supervisor)")
+    parser.add_argument("--profile_dir", default="",
+                        help="capture a jax.profiler trace of epoch 0 here")
     args = parser.parse_args(argv)
     nprng = common.seed_everything(args.seed)
     cfg = common.model_config(args)
@@ -64,19 +69,43 @@ def main(argv=None):
 
     step_fn = make_train_step(cfg, opt, donate=False)
 
-    for epoch in range(start_epoch, args.num_epochs):
-        opt_state = set_lr(opt_state, schedule(epoch))
+    supervisor = None
+    if args.supervise:
+        from sttode_tpu.train.supervisor import Supervisor
+        supervisor = Supervisor(cdir, cfg,
+                                save_every=args.model_save_epoch)
+
+    epoch = start_epoch
+    while epoch < args.num_epochs:
+        opt_state = set_lr(opt_state, schedule(epoch) * (
+            supervisor.lr_scale if supervisor else 1.0))
         t0 = time.time()
         key, k_epoch = jax.random.split(key)
+        profile_ctx = None
+        if args.profile_dir and epoch == start_epoch:
+            from sttode_tpu.utils.profiling import trace
+            profile_ctx = trace(args.profile_dir)
+            profile_ctx.__enter__()
         params, opt_state, means = train_epoch(
             step_fn, params, opt_state,
             batch_stream(args, data, nprng, cfg), k_epoch,
             log_every=args.log_every)
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile_dir}")
         msg = " ".join(f"{k}: {v:.4f}" for k, v in sorted(means.items()))
         print(f"epoch {epoch:03d} [{time.time() - t0:.1f}s] {msg}")
-        if (epoch + 1) % args.model_save_epoch == 0:
+        if supervisor is not None:
+            params, opt_state, epoch, action = supervisor.after_epoch(
+                epoch, means["total"], params, opt_state)
+            if action == "abort":
+                break
+            if action == "rollback":
+                continue
+        elif (epoch + 1) % args.model_save_epoch == 0:
             path = save_checkpoint(cdir, epoch + 1, params, opt_state, cfg)
             print(f"saved {path}")
+        epoch += 1
     return params, cfg
 
 

@@ -87,6 +87,19 @@ def test_resume_from_checkpoint(workspace):
     assert "model_0003" in ckpts
 
 
+@pytest.mark.e2e
+def test_supervised_training_with_profile(workspace, tmp_path):
+    from sttode_tpu.cli import train as train_cli
+    prof = str(tmp_path / "trace")
+    train_cli.main(COMMON + [
+        "--data_root", workspace["data_root"],
+        "--ckpt_dir", str(tmp_path / "sup_ckpts"),
+        "--num_epochs", "2", "--model_save_epoch", "1",
+        "--supervise", "--profile_dir", prof])
+    assert os.path.isdir(prof) and os.listdir(prof)
+    assert os.listdir(os.path.join(str(tmp_path / "sup_ckpts"), "eth"))
+
+
 class TestGraftEntry:
     def test_entry_jits(self):
         import jax
