@@ -88,6 +88,55 @@ def test_resume_from_checkpoint(workspace):
 
 
 @pytest.mark.e2e
+def test_nba_pipeline(tmp_path):
+    """NBA path: synthetic npy → batched training → horizon-table eval."""
+    import numpy as np
+    from sttode_tpu.cli import test as test_cli
+    from sttode_tpu.cli import train as train_cli
+
+    rng = np.random.default_rng(0)
+    nba_dir = tmp_path / "datasets" / "nba"
+    os.makedirs(nba_dir, exist_ok=True)
+    raw = rng.standard_normal((12, 15, 11, 2)).astype(np.float32) * 30
+    np.save(nba_dir / "train.npy", raw)
+    np.save(nba_dir / "test.npy", raw)
+
+    args = ["--dataset", "nba", "--data_root", str(tmp_path / "datasets"),
+            "--ckpt_dir", str(tmp_path / "ckpts"), "--hidden_dim", "16",
+            "--zdim", "8", "--sample_k", "3", "--batch_size", "4",
+            "--seed", "1"]
+    train_cli.main(args + ["--num_epochs", "1", "--model_save_epoch", "1"])
+    best = test_cli.main(args + ["--sweep", "1"])
+    assert np.isfinite(best["ade"])
+
+
+@pytest.mark.e2e
+def test_sdd_pipeline(tmp_path):
+    """SDD path: synthetic pickle → per-scene training → eval."""
+    import pickle
+    import numpy as np
+    from sttode_tpu.cli import test as test_cli
+    from sttode_tpu.cli import train as train_cli
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        d = tmp_path / "datasets" / "sdd" / split
+        os.makedirs(d, exist_ok=True)
+        groups = [rng.standard_normal((n, 20, 2)).astype(np.float32) * 200
+                  for n in (3, 4)]
+        with open(d / "sdd.pkl", "wb") as f:
+            pickle.dump(groups, f)
+
+    args = ["--dataset", "sdd", "--data_root", str(tmp_path / "datasets"),
+            "--ckpt_dir", str(tmp_path / "ckpts"), "--hidden_dim", "16",
+            "--zdim", "8", "--sample_k", "3", "--min_clip", "0.0",
+            "--seed", "1"]
+    train_cli.main(args + ["--num_epochs", "1", "--model_save_epoch", "1"])
+    best = test_cli.main(args + ["--sweep", "1"])
+    assert np.isfinite(best["ade"])
+
+
+@pytest.mark.e2e
 def test_supervised_training_with_profile(workspace, tmp_path):
     from sttode_tpu.cli import train as train_cli
     prof = str(tmp_path / "trace")
