@@ -132,18 +132,25 @@ def mobius_add(x: jnp.ndarray, y: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray
     return num / (denom + _DENOM_EPS)
 
 
+def _safe_norm(x: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
+    """‖x‖ with a finite gradient at x=0 (d‖x‖/dx is NaN at the origin, which
+    a plain jnp.linalg.norm hits on every self-distance d(x, x))."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=keepdims)
+    return jnp.sqrt(sq + 1e-15)
+
+
 def dist(x: jnp.ndarray, y: jnp.ndarray, *, c: float = 1.0,
          keepdims: bool = False) -> jnp.ndarray:
     """Geodesic distance 2/√c·artanh(√c‖(−x)⊕y‖) (reference pmath.py:180-208)."""
     sqrt_c = c ** 0.5
-    n = jnp.linalg.norm(mobius_add(-x, y, c=c), axis=-1, keepdims=keepdims)
+    n = _safe_norm(mobius_add(-x, y, c=c), keepdims=keepdims)
     return artanh(sqrt_c * n) * 2 / sqrt_c
 
 
 def dist0(x: jnp.ndarray, *, c: float = 1.0, keepdims: bool = False) -> jnp.ndarray:
     """Distance to the origin (reference pmath.py:211-234)."""
     sqrt_c = c ** 0.5
-    n = jnp.linalg.norm(x, axis=-1, keepdims=keepdims)
+    n = _safe_norm(x, keepdims=keepdims)
     return artanh(sqrt_c * n) * 2 / sqrt_c
 
 

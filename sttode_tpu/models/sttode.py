@@ -64,6 +64,11 @@ class STTODEConfig(NamedTuple):
     remat: bool = False           # jax.checkpoint the encoder trunks: trade
                                   # recompute for activation memory at large
                                   # batch/bucket sizes
+    compute_dtype: str = "float32"  # "bfloat16" casts the decode-MLP matmul
+                                    # operands (the step's dominant HBM
+                                    # traffic — measured 88% of v5e bandwidth
+                                    # at fp32) while accumulating fp32;
+                                    # attention Gram/losses stay fp32
 
     @property
     def layer_cfg(self) -> LayerConfig:
@@ -289,6 +294,8 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
                            x_true.dtype)
     reconstruction = jnp.zeros((x_true.shape[0], cfg.past_length, 2),
                                x_true.dtype)
+    cd = None if cfg.compute_dtype == "float32" else \
+        jnp.dtype(cfg.compute_dtype)
     # num_decompose=2 distinct blocks — unrolled (each has its own params);
     # block i+1 refines the residual x_true - x_hat_i.
     for block in params["decoder"]:
@@ -296,10 +303,10 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
         h = jax.nn.relu(conv1d(block["conv_past"], residual, padding=1))
         _, state = gru(block["gru"], h)                        # [M·s, 96]
         feat = jnp.concatenate([hidden, state], axis=-1)
-        x_hat = core.mlp(block["decoder_x"], feat).reshape(
-            -1, cfg.past_length, 2)
-        y_hat = core.mlp(block["decoder_y"], feat).reshape(
-            -1, cfg.future_length, 2)
+        x_hat = core.mlp(block["decoder_x"], feat,
+                         compute_dtype=cd).reshape(-1, cfg.past_length, 2)
+        y_hat = core.mlp(block["decoder_y"], feat,
+                         compute_dtype=cd).reshape(-1, cfg.future_length, 2)
         prediction = prediction + y_hat
         reconstruction = reconstruction + x_hat
 

@@ -83,11 +83,30 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def geodesic_scores(q: jnp.ndarray, k: jnp.ndarray, *,
-                    compat: str = "reference") -> jnp.ndarray:
+                    compat: str = "reference",
+                    metric: str = "oblique",
+                    curvature: float = 1.0) -> jnp.ndarray:
     """Negated geodesic distance score matrix over the trailing two dims.
 
     q: [..., L, Dh], k: [..., S, Dh] → [..., L, S].
+
+    ``metric``:
+    - "oblique" (the reference's live path): row-normalize to the unit
+      sphere, distance = acos(q̂·k̂ᵀ).
+    - "poincare" (the paper's framing — the reference ships the pmath toolbox
+      wildcard-imported but never wires it in, SURVEY.md §2.1): points are
+      mapped onto the ball via expmap0 and scored by the Möbius geodesic
+      distance, ``curvature`` = c.
     """
+    if metric == "poincare":
+        from sttode_tpu.manifolds import pmath
+        qb = pmath.project(pmath.expmap0(q, c=curvature), c=curvature)
+        kb = pmath.project(pmath.expmap0(k, c=curvature), c=curvature)
+        # pairwise Möbius geodesic distances via broadcasting
+        d = pmath.dist(qb[..., :, None, :], kb[..., None, :, :], c=curvature)
+        if compat == "reference" and q.shape[-2] == k.shape[-2]:
+            d = jnp.swapaxes(d, -1, -2)   # match the Q3 orientation
+        return -d
     qn = oblique.proj(q)
     kn = oblique.proj(k)
     if compat == "reference":
@@ -124,7 +143,9 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                        deterministic: bool = True,
                        compat: str = "reference",
                        fused: str | bool = "auto",
-                       need_weights: bool = True):
+                       need_weights: bool = True,
+                       metric: str = "oblique",
+                       curvature: float = 1.0):
     """Core attention: geodesic scores → (+mask) → softmax → dropout → @v.
 
     q [..., L, Dh], k/v [..., S, Dh], mask additive [..., L, S] or broadcastable.
@@ -137,7 +158,8 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     square case (quirk Q3) is the kernel with q/k swapped.
     """
     dropout_active = (not deterministic) and dropout_rate > 0.0
-    if _should_fuse(q, k, dropout_active, need_weights, fused):
+    if metric == "oblique" and \
+            _should_fuse(q, k, dropout_active, need_weights, fused):
         from sttode_tpu.kernels.mhgsa import fused_geodesic_attention
         square = q.shape[-2] == k.shape[-2]
         if compat == "reference" and square:
@@ -146,7 +168,8 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             out = fused_geodesic_attention(q, k, v, mask=mask)
         return out, None
 
-    scores = geodesic_scores(q, k, compat=compat)
+    scores = geodesic_scores(q, k, compat=compat, metric=metric,
+                             curvature=curvature)
     if mask is not None:
         scores = scores + mask
     w = jax.nn.softmax(scores, axis=-1)

@@ -86,8 +86,18 @@ def dense_init(key, d_in: int, d_out: int, *, w_init=torch_linear_weight,
     return p
 
 
-def dense(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"]
+def dense(p: dict, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
+    """x @ w + b. With ``compute_dtype`` (e.g. bfloat16) the operands are cast
+    down for the matmul while accumulation stays fp32 — halves HBM traffic on
+    bandwidth-bound layers; bias adds in fp32."""
+    w = p["w"]
+    if compute_dtype is not None:
+        y = jax.lax.dot_general(
+            x.astype(compute_dtype), w.astype(compute_dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        y = x @ w
     if "b" in p:
         y = y + p["b"]
     return y
@@ -149,11 +159,11 @@ def mlp_init(key, d_in: int, hidden: Sequence[int], d_out: int | None = None, *,
 
 
 def mlp(p: dict, x: jnp.ndarray, *, activation: str = "relu",
-        activate_final: bool = False) -> jnp.ndarray:
+        activate_final: bool = False, compute_dtype=None) -> jnp.ndarray:
     act = _ACTIVATIONS[activation]
     n = len(p["layers"])
     for i, lp in enumerate(p["layers"]):
-        x = dense(lp, x)
+        x = dense(lp, x, compute_dtype=compute_dtype)
         if i < n - 1 or activate_final:
             x = act(x)
     return x

@@ -207,3 +207,33 @@ class TestCore:
         kept = np.asarray(y) > 0
         np.testing.assert_allclose(np.asarray(y)[kept], 2.0)
         assert 0.4 < kept.mean() < 0.6
+
+
+class TestPoincareMetricAttention:
+    def test_poincare_scores_finite_and_distinct(self, rng):
+        q = jnp.asarray(rng.standard_normal((4, 8)) * 0.3, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((4, 8)) * 0.3, jnp.float32)
+        s_obl = geodesic_scores(q, k, compat="tpu", metric="oblique")
+        s_poi = geodesic_scores(q, k, compat="tpu", metric="poincare")
+        assert s_poi.shape == (4, 4)
+        assert np.all(np.isfinite(np.asarray(s_poi)))
+        assert np.all(np.asarray(s_poi) <= 0)
+        assert not np.allclose(np.asarray(s_obl), np.asarray(s_poi))
+
+    def test_poincare_self_distance_zero(self, rng):
+        x = jnp.asarray(rng.standard_normal((5, 8)) * 0.3, jnp.float32)
+        s = geodesic_scores(x, x, compat="tpu", metric="poincare")
+        np.testing.assert_allclose(np.asarray(jnp.diag(s)), 0.0, atol=1e-3)
+
+    def test_poincare_attention_grads(self, rng):
+        from sttode_tpu.nn.attention import geodesic_attention
+        q = jnp.asarray(rng.standard_normal((2, 4, 8)) * 0.3, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 4, 8)), jnp.float32)
+
+        def loss(q):
+            out, _ = geodesic_attention(q, q, v, compat="tpu",
+                                        metric="poincare", curvature=0.5)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(q)
+        assert np.all(np.isfinite(np.asarray(g)))
