@@ -1,0 +1,94 @@
+"""Convergence study on synthetic social scenes (TPU).
+
+Trains the flagship STTODE config on generated multi-agent data and tracks
+best-of-20 min-ADE/FDE on a held-out split across epochs — the end-to-end
+learning validation the unshipped reference datasets prevent. Appends results
+to CONVERGENCE.md.
+
+    python scripts/convergence_study.py --epochs 40 --train_scenes 600
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sttode_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
+import numpy as np
+import jax
+import optax
+
+from sttode_tpu.data.batching import scene_batches
+from sttode_tpu.data.synthetic import make_social_scenes
+from sttode_tpu.evaluation import evaluate_scenes
+from sttode_tpu.models import STTODEConfig, sttode_init
+from sttode_tpu.train import (
+    adam_with_schedule, make_train_step, set_lr, step_lr, train_epoch,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--train_scenes", type=int, default=600)
+    ap.add_argument("--test_scenes", type=int, default=100)
+    ap.add_argument("--scenes_per_batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--eval_every", type=int, default=5)
+    ap.add_argument("--attn_axis", default="agent")
+    ap.add_argument("--compat", default="tpu")
+    args = ap.parse_args()
+
+    train = make_social_scenes(args.train_scenes, seed=0)
+    test = make_social_scenes(args.test_scenes, seed=1)
+    cfg = STTODEConfig(compat=args.compat, attn_axis=args.attn_axis)
+
+    key = jax.random.PRNGKey(0)
+    key, k_init = jax.random.split(key)
+    params = sttode_init(k_init, cfg)
+    schedule = step_lr(args.lr, 10, 0.5)
+    opt = adam_with_schedule(schedule)
+    opt_state = opt.init(params)
+    step_fn = make_train_step(cfg, opt, donate=False)
+
+    nprng = np.random.default_rng(0)
+    history = []
+    t_start = time.time()
+    for epoch in range(args.epochs):
+        opt_state = set_lr(opt_state, schedule(epoch))
+        key, k_ep = jax.random.split(key)
+        t0 = time.time()
+        params, opt_state, means = train_epoch(
+            step_fn, params, opt_state,
+            scene_batches(train, training=True, rng=nprng,
+                          scenes_per_batch=args.scenes_per_batch),
+            k_ep)
+        line = (f"epoch {epoch:03d} [{time.time() - t0:.1f}s] "
+                + " ".join(f"{k}: {v:.3f}" for k, v in sorted(means.items())))
+        if (epoch + 1) % args.eval_every == 0 or epoch == 0:
+            m = evaluate_scenes(params, cfg, test, jax.random.PRNGKey(42),
+                                sample_k=20)
+            line += f" | TEST ADE {m['ade']:.4f} FDE {m['fde']:.4f}"
+            history.append((epoch, m["ade"], m["fde"]))
+        print(line, flush=True)
+
+    total_min = (time.time() - t_start) / 60
+    with open("CONVERGENCE.md", "a") as f:
+        f.write(f"\n## Run: {args.epochs} epochs, {args.train_scenes} train "
+                f"scenes, compat={args.compat}/{args.attn_axis}, "
+                f"{total_min:.1f} min on {jax.devices()[0].device_kind}\n\n")
+        f.write("| epoch | test min-ADE (K=20) | test min-FDE |\n|---|---|---|\n")
+        for e, a, d in history:
+            f.write(f"| {e} | {a:.4f} | {d:.4f} |\n")
+    print(f"done in {total_min:.1f} min; history -> CONVERGENCE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -152,8 +152,34 @@ def _dopri5_single_step(func, t0, h, y0, k1, args):
     return y5, err, ks[6]
 
 
-def _initial_step(span):
-    return 0.01 * span
+def _rms(tree, y_ref, rtol, atol):
+    total = jnp.float32(0.0)
+    count = 0
+    for x, yr in zip(jax.tree_util.tree_leaves(tree),
+                     jax.tree_util.tree_leaves(y_ref)):
+        scale = atol + rtol * jnp.abs(yr)
+        r = (x / scale).astype(jnp.float32)
+        total = total + jnp.sum(r * r)
+        count += r.size
+    return jnp.sqrt(total / count)
+
+
+def _initial_step(func, t0, y0, f0, direction, rtol, atol, args):
+    """Hairer/Nørsett/Wanner starting-step-size algorithm (Solving ODEs I,
+    §II.4): probe the local Lipschitz scale with one extra RHS evaluation
+    instead of guessing a fraction of the span."""
+    d0 = _rms(y0, y0, rtol, atol)
+    d1 = _rms(f0, y0, rtol, atol)
+    h0 = jnp.where(jnp.minimum(d0, d1) < 1e-5, 1e-6, 0.01 * d0 / (d1 + 1e-30))
+    y1 = _tree_axpy(h0 * direction, f0, y0)
+    f1 = func(t0 + h0 * direction, y1, *args)
+    diff = jax.tree_util.tree_map(lambda a, b: a - b, f1, f0)
+    d2 = _rms(diff, y0, rtol, atol) / h0
+    dm = jnp.maximum(d1, d2)
+    h1 = jnp.where(dm <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / dm) ** (1.0 / _ORDER))
+    return jnp.minimum(100.0 * h0, h1)
 
 
 def _dopri5_interval(func, y0, k1_0, t0, t1, rtol, atol, args, max_steps):
@@ -161,7 +187,8 @@ def _dopri5_interval(func, y0, k1_0, t0, t1, rtol, atol, args, max_steps):
     direction. Returns (y(t1), k1 at t1 for FSAL reuse)."""
     direction = jnp.sign(t1 - t0)
     span = jnp.abs(t1 - t0)
-    h0 = jnp.minimum(_initial_step(span), span)
+    h0 = jnp.minimum(
+        _initial_step(func, t0, y0, k1_0, direction, rtol, atol, args), span)
 
     def cond(state):
         t, _, _, h, n = state
