@@ -210,3 +210,27 @@ class TestMetrics:
         m.update(1.0, n=2)
         m.update(4.0, n=1)
         assert m.avg == pytest.approx(2.0)
+
+
+class TestSynthetic:
+    def test_social_scenes_contract(self):
+        from sttode_tpu.data.synthetic import make_social_scenes
+        scenes = make_social_scenes(5, agents_range=(2, 4), seed=0)
+        assert len(scenes) == 5
+        for s in scenes:
+            n = s["obs"].shape[0]
+            assert 2 <= n <= 4
+            assert s["obs"].shape == (n, 8, 2)
+            assert s["pred"].shape == (n, 12, 2)
+            # continuity at the obs/pred boundary: step sizes stay bounded
+            step = np.linalg.norm(s["pred"][:, 0] - s["obs"][:, -1], axis=-1)
+            assert np.all(step < 3.0)
+
+    def test_eth_style_csv_roundtrip(self, tmp_path):
+        from sttode_tpu.data.synthetic import write_eth_style_csvs
+        from sttode_tpu.data import load_eth_ucy
+        write_eth_style_csvs(str(tmp_path), n_files=1, frames_per_file=30,
+                             agents=4)
+        scenes = load_eth_ucy(str(tmp_path))
+        assert len(scenes) == 30 - 20 + 1
+        assert all(s["obs"].shape[0] == 4 for s in scenes)
