@@ -21,7 +21,7 @@ from sttode_tpu.data import nba_batches, prepare_nba_batch, scene_batches
 from sttode_tpu.models import sttode_init
 from sttode_tpu.train import (
     adam_with_schedule, make_train_step, save_checkpoint, load_checkpoint,
-    latest_checkpoint, set_lr, step_lr, train_epoch,
+    set_lr, step_lr, train_epoch,
 )
 
 

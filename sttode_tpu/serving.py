@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from sttode_tpu.data.batching import DEFAULT_BUCKETS, bucket_for
 from sttode_tpu.data.preprocess import prepare_scene
-from sttode_tpu.models.sttode import Batch, STTODEConfig, sttode_inference
+from sttode_tpu.models.sttode import STTODEConfig, sttode_inference
 
 
 class Predictor:

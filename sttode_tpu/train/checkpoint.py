@@ -14,7 +14,6 @@ import os
 from typing import Any, NamedTuple
 
 import numpy as np
-import jax
 import orbax.checkpoint as ocp
 
 from sttode_tpu.models.sampler import SamplerConfig

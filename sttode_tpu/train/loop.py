@@ -9,12 +9,9 @@ row-sharded over "data" — XLA inserts the gradient psum (SPMD DP).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Iterable
 
-import numpy as np
 import jax
-import jax.numpy as jnp
 import optax
 
 from sttode_tpu.models.sampler import (

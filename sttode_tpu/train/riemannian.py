@@ -15,7 +15,7 @@ exposing ``egrad2rgrad(grad, x)`` and ``retr(u, x)`` — e.g.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import optax

@@ -18,10 +18,9 @@ from __future__ import annotations
 
 import collections
 import math
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
-import jax
 
 
 class Supervisor:
