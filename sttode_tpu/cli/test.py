@@ -67,11 +67,41 @@ def main(argv=None):
     print(f"best (epoch {best['epoch']}): ADE: {best['ade']:.4f} "
           f"FDE: {best['fde']:.4f}")
 
-    if args.save_plots and args.dataset != "nba":
-        _render_plots(best["params"], best["cfg"], data, args)
+    if args.save_plots:
+        if args.dataset == "nba":
+            _render_nba_plots(best["params"], best["cfg"], data, args)
+        else:
+            _render_plots(best["params"], best["cfg"], data, args)
     best.pop("params", None)
     best.pop("cfg", None)
     return best
+
+
+def _render_nba_plots(params, cfg, data, args):
+    """Court renderings with best-of-K predictions for the first scenes
+    (reference vis_result, test.py:65-161)."""
+    import jax.numpy as jnp
+    from sttode_tpu.data import nba_batches, prepare_nba_batch
+    from sttode_tpu.evaluation import _infer
+    from sttode_tpu.utils.visualize import plot_nba_court
+
+    os.makedirs(args.save_plots, exist_ok=True)
+    past, fut = data
+    key = jax.random.PRNGKey(args.seed)
+    n_plotted = 0
+    for d in nba_batches(past, fut, 1):
+        if n_plotted >= args.max_plots:
+            break
+        batch = prepare_nba_batch(d)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        key, sub = jax.random.split(key)
+        preds = np.asarray(_infer(params, cfg, batch, sub, args.sample_k))
+        best_pred = preds[0].reshape(11, cfg.future_length, 2)
+        out = os.path.join(args.save_plots, f"court_{n_plotted:04d}.png")
+        plot_nba_court(d["past_traj"][0], d["future_traj"][0], best_pred,
+                       save_path=out, title=f"scene {n_plotted}")
+        n_plotted += 1
+    print(f"wrote {n_plotted} court plots to {args.save_plots}")
 
 
 def _render_plots(params, cfg, scenes, args):

@@ -106,8 +106,11 @@ def test_nba_pipeline(tmp_path):
             "--zdim", "8", "--sample_k", "3", "--batch_size", "4",
             "--seed", "1"]
     train_cli.main(args + ["--num_epochs", "1", "--model_save_epoch", "1"])
-    best = test_cli.main(args + ["--sweep", "1"])
+    plots = str(tmp_path / "court_plots")
+    best = test_cli.main(args + ["--sweep", "1", "--save_plots", plots,
+                                 "--max_plots", "1"])
     assert np.isfinite(best["ade"])
+    assert len(os.listdir(plots)) == 1
 
 
 @pytest.mark.e2e
