@@ -28,6 +28,25 @@ def bucket_for(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     return buckets[-1]
 
 
+def _emit_group(group: list[dict], bucket: int, *, training: bool,
+                rng, rand_rot: bool):
+    """Stack raw scenes of one bucket and run the vectorized preparation
+    (one numpy pass for origin/rotation/velocities — the host hot path)."""
+    from sttode_tpu.data.preprocess import prepare_scene_group
+
+    B = len(group)
+    obs = np.zeros((B, bucket) + group[0]["obs"].shape[1:], np.float32)
+    pred = np.zeros((B, bucket) + group[0]["pred"].shape[1:], np.float32)
+    valid = np.zeros((B, bucket), np.float32)
+    for j, s in enumerate(group):
+        n = s["obs"].shape[0]
+        obs[j, :n] = s["obs"]
+        pred[j, :n] = s["pred"]
+        valid[j, :n] = 1.0
+    return prepare_scene_group(obs, pred, valid, training=training, rng=rng,
+                               rand_rot=rand_rot)
+
+
 def scene_batches(scenes: list[dict], *, training: bool,
                   rng: np.random.Generator | None = None,
                   scenes_per_batch: int = 1,
@@ -45,27 +64,27 @@ def scene_batches(scenes: list[dict], *, training: bool,
     if shuffle and rng is not None:
         rng.shuffle(order)
 
+    cap = min(max_train_agent, buckets[-1])
     pending: dict[int, list] = {}
     for i in order:
         scene = scenes[i]
-        n = min(len(scene["obs"]), max_train_agent) if training \
-            else len(scene["obs"])
+        n = scene["obs"].shape[0]
+        if training and rng is not None and n > cap:
+            # quirk Q6: subsample WITH replacement above the cap
+            idx = rng.choice(n, cap)
+            scene = {"obs": scene["obs"][idx], "pred": scene["pred"][idx]}
+            n = cap
         b = bucket_for(n, buckets)
-        batch, orig = prepare_scene(
-            scene, training=training, rng=rng,
-            max_train_agent=min(max_train_agent, buckets[-1]),
-            rand_rot=rand_rot, pad_to=b)
-        pending.setdefault(b, []).append((batch, orig))
+        pending.setdefault(b, []).append(scene)
         if len(pending[b]) == scenes_per_batch:
-            group = pending.pop(b)
-            yield (stack_scenes([g[0] for g in group]),
-                   np.stack([g[1] for g in group]))
+            yield _emit_group(pending.pop(b), b, training=training, rng=rng,
+                              rand_rot=rand_rot)
     # flush remainders (padded with repeats of the last scene would change
     # eval statistics — emit short groups as-is instead; the per-bucket
     # program count stays bounded by |buckets|·|batch sizes seen|)
     for b, group in pending.items():
-        yield (stack_scenes([g[0] for g in group]),
-               np.stack([g[1] for g in group]))
+        yield _emit_group(group, b, training=training, rng=rng,
+                          rand_rot=rand_rot)
 
 
 def compiled_shape_count(scenes: list[dict],

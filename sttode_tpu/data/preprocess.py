@@ -104,6 +104,58 @@ def stack_scenes(batches: list[Batch]) -> Batch:
     )
 
 
+def prepare_scene_group(obs: np.ndarray, pred: np.ndarray, valid: np.ndarray,
+                        *, training: bool,
+                        rng: np.random.Generator | None = None,
+                        rand_rot: bool = True):
+    """Vectorized multi-scene preparation: the group-stacked equivalent of
+    ``prepare_scene`` (same per-scene origin/rotation/velocity semantics), one
+    numpy pass over [B, Np, T, 2] stacks instead of B python iterations — the
+    host-side hot path when feeding the device with multi-scene batches.
+
+    Returns (Batch [B·Np rows], scene_origs [B, 2]).
+    """
+    obs = np.asarray(obs, np.float32)       # [B, Np, Tp, 2]
+    pred = np.asarray(pred, np.float32)     # [B, Np, Tf, 2]
+    valid = np.asarray(valid, np.float32)   # [B, Np]
+    B, Np = obs.shape[:2]
+
+    denom = np.maximum(valid.sum(axis=1, keepdims=True), 1.0)       # [B, 1]
+    orig = (obs[:, :, -1] * valid[..., None]).sum(axis=1) / denom   # [B, 2]
+
+    if training and rand_rot and rng is not None:
+        theta = rng.uniform(0.0, 2.0 * np.pi, size=(B,)).astype(np.float32)
+        c = np.cos(theta)[:, None, None]
+        s = np.sin(theta)[:, None, None]
+
+        def rot(x):
+            rel = x - orig[:, None, None, :]
+            out = np.stack([rel[..., 0] * c - rel[..., 1] * s,
+                            rel[..., 0] * s + rel[..., 1] * c], axis=-1)
+            return out + orig[:, None, None, :], out
+
+        obs_abs, obs_norm = rot(obs)
+        pred_abs, pred_norm = rot(pred)
+    else:
+        obs_abs, obs_norm = obs, obs - orig[:, None, None, :]
+        pred_abs, pred_norm = pred, pred - orig[:, None, None, :]
+
+    # zero-out padded rows so downstream masked math sees clean zeros
+    obs_norm = obs_norm * valid[..., None, None]
+    pred_norm = pred_norm * valid[..., None, None]
+
+    flat = lambda x: x.reshape(B * Np, *x.shape[2:])
+    past_vel, future_vel = _velocities(flat(obs_abs), flat(pred_abs))
+    vmask = valid.reshape(B * Np, 1, 1)
+    past_vel = past_vel * vmask
+    future_vel = future_vel * vmask
+
+    batch = Batch(past=flat(obs_norm), past_vel=past_vel,
+                  future=flat(pred_norm), future_vel=future_vel,
+                  valid=valid.reshape(B * Np), batch_size=B, agent_num=Np)
+    return batch, orig
+
+
 def prepare_nba_batch(data: dict) -> Batch:
     """NBA collated dict {'past_traj': [B, N, T_p, 2], 'future_traj': ...} →
     Batch with absolute coordinates (reference set_data_nba)."""
