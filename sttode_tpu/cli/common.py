@@ -63,6 +63,10 @@ def horizons_for(dataset: str) -> tuple[int, int]:
 
 def model_config(args) -> STTODEConfig:
     past_len, future_len = horizons_for(args.dataset)
+    return _build_config(args, past_len, future_len).validate()
+
+
+def _build_config(args, past_len, future_len) -> STTODEConfig:
     return STTODEConfig(
         hidden_dim=args.hidden_dim, zdim=args.zdim,
         past_length=past_len, future_length=future_len,

@@ -76,6 +76,17 @@ class STTODEConfig(NamedTuple):
                            ff_dim=self.ff_dim, dropout=self.dropout,
                            compat=self.compat)
 
+    def validate(self) -> "STTODEConfig":
+        """Fail fast on inconsistent hyperparameters."""
+        assert self.hidden_dim % self.num_heads == 0, \
+            f"hidden_dim {self.hidden_dim} must divide num_heads {self.num_heads}"
+        assert self.compat in ("reference", "tpu"), self.compat
+        assert self.attn_axis in ("scene", "agent"), self.attn_axis
+        assert self.ode_method in ("euler", "midpoint", "rk4", "dopri5"), \
+            self.ode_method
+        assert self.ode_steps >= 1 and self.sample_k >= 1
+        return self
+
 
 @functools.partial(jax.tree_util.register_dataclass,
                    data_fields=["past", "past_vel", "future", "future_vel",
