@@ -309,10 +309,19 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
         jnp.dtype(cfg.compute_dtype)
     # num_decompose=2 distinct blocks — unrolled (each has its own params);
     # block i+1 refines the residual x_true - x_hat_i.
-    for block in params["decoder"]:
-        residual = x_true - x_hat                              # [M·s, T_p, 2]
-        h = jax.nn.relu(conv1d(block["conv_past"], residual, padding=1))
-        _, state = gru(block["gru"], h)                        # [M·s, 96]
+    for i, block in enumerate(params["decoder"]):
+        if i == 0 and s > 1:
+            # Block 1 sees residual = x_true - 0, identical across the s
+            # samples: run its conv+GRU once on the M unrepeated rows and
+            # repeat the final state — K× less sequential scan work in the
+            # best-of-K decode, bitwise-identical output.
+            h = jax.nn.relu(conv1d(block["conv_past"], past_traj, padding=1))
+            _, state_m = gru(block["gru"], h)                  # [M, 96]
+            state = jnp.repeat(state_m, s, axis=0)             # [M·s, 96]
+        else:
+            residual = x_true - x_hat                          # [M·s, T_p, 2]
+            h = jax.nn.relu(conv1d(block["conv_past"], residual, padding=1))
+            _, state = gru(block["gru"], h)                    # [M·s, 96]
         feat = jnp.concatenate([hidden, state], axis=-1)
         x_hat = core.mlp(block["decoder_x"], feat,
                          compute_dtype=cd).reshape(-1, cfg.past_length, 2)
