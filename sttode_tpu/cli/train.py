@@ -67,6 +67,10 @@ def main(argv=None):
                             "epoch": np.asarray(0)})
         print(f"resumed epoch {start_epoch} from {path}")
 
+    # parameter table at startup (reference model_structure, train.py:205)
+    from sttode_tpu.utils.profiling import param_count
+    print(f"model parameters: {param_count(params):,}")
+
     step_fn = make_train_step(cfg, opt, donate=False)
 
     supervisor = None
