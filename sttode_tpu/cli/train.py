@@ -71,7 +71,7 @@ def main(argv=None):
     from sttode_tpu.utils.profiling import param_count
     print(f"model parameters: {param_count(params):,}")
 
-    step_fn = make_train_step(cfg, opt, donate=False)
+    step_fn = make_train_step(cfg, opt, donate=True)
 
     supervisor = None
     if args.supervise:

@@ -78,7 +78,7 @@ def main(argv=None):
                               "opt_state": opt_state, "epoch": np.asarray(0)})
         print(f"resumed sampler epoch {start_epoch}")
 
-    step_fn = make_sampler_train_step(cfg, scfg, opt, donate=False)
+    step_fn = make_sampler_train_step(cfg, scfg, opt, donate=True)
     data = common.load_scenes(args, "train")
 
     for epoch in range(start_epoch, args.num_epochs):

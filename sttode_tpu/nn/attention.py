@@ -133,7 +133,13 @@ def _should_fuse(q, k, dropout_active: bool, need_weights: bool,
         return False
     if jax.default_backend() != "tpu":
         return False
-    return q.shape[-2] * k.shape[-2] >= 256 * 256
+    L, S = q.shape[-2], k.shape[-2]
+    # upper bound: the backward kernel holds the full [L, S] score block in
+    # VMEM (~16 MB/core); beyond that the ring/sequence-parallel path is the
+    # right tool, so auto-routing falls back to XLA here.
+    if L * S * 4 > 8 * 1024 * 1024:
+        return False
+    return L * S >= 256 * 256
 
 
 def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
