@@ -25,7 +25,11 @@ def load_sdd(data_dir: str, *, obs_len: int = 8, pred_len: int = 12,
 
     scenes = []
     for i, group in enumerate(groups):
-        traj = np.asarray(group, np.float32) / traj_scale  # [N, seq_len, 2]
+        traj = np.asarray(group, np.float32) / traj_scale
+        # the reference pickle stores coordinate-major [N, 2, seq_len]
+        # (sddloader.py:59 transposes (0,2,1)); accept either layout
+        if traj.ndim == 3 and traj.shape[1] == 2 and traj.shape[2] != 2:
+            traj = np.transpose(traj, (0, 2, 1))           # → [N, seq_len, 2]
         rel = np.zeros_like(traj)
         rel[:, 1:] = traj[:, 1:] - traj[:, :-1]
         N = traj.shape[0]

@@ -39,6 +39,35 @@ def make_mesh(dp: int | None = None, tp: int = 1,
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def make_hybrid_mesh(ici_dp: int, tp: int = 1, dcn_dp: int = 1) -> Mesh:
+    """Multi-slice mesh: the "data" axis spans DCN × ICI so gradient psum
+    rides fast ICI within a slice and crosses DCN only at the slice boundary
+    (SURVEY.md §5.8 plan). Falls back to a flat mesh when the runtime exposes
+    a single slice (this box)."""
+    if dcn_dp > 1:
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (ici_dp, tp), dcn_mesh_shape=(dcn_dp, 1))
+        grid = grid.reshape(dcn_dp * ici_dp, tp)
+        return Mesh(grid, axis_names=("data", "model"))
+    return make_mesh(dp=ici_dp, tp=tp)
+
+
+def init_distributed() -> bool:
+    """Initialize ``jax.distributed`` for multi-host SPMD when the coordinator
+    env is present (JAX_COORDINATOR_ADDRESS / cloud-TPU autodetect). Returns
+    True when running distributed. Safe no-op on a single host."""
+    import os
+
+    import jax as _jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        _jax.distributed.initialize()
+        return _jax.process_count() > 1
+    return False
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a ``Batch``: every tensor leads with the flattened
     scene·agent axis M, so one row-sharding serves as a prefix spec for the

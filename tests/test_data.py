@@ -66,17 +66,28 @@ class TestEthUcy:
 
 
 class TestSdd:
-    def test_pickle_roundtrip(self, tmp_path):
+    def test_pickle_roundtrip_reference_layout(self, tmp_path):
+        """The reference pickle is coordinate-major [N, 2, seq_len]
+        (sddloader.py:59)."""
         rng = np.random.default_rng(0)
-        groups = [rng.standard_normal((n, 20, 2)).astype(np.float32) * 100
+        groups = [rng.standard_normal((n, 2, 20)).astype(np.float32) * 100
                   for n in (3, 5)]
         with open(tmp_path / "sdd.pkl", "wb") as f:
             pickle.dump(groups, f)
         scenes = load_sdd(str(tmp_path))
         assert len(scenes) == 2
+        expected = np.transpose(groups[0], (0, 2, 1))[:, :8] / 50.0
+        np.testing.assert_allclose(scenes[0]["obs"], expected, atol=1e-5)
+        assert scenes[1]["pred"].shape == (5, 12, 2)
+
+    def test_pickle_time_major_layout_also_accepted(self, tmp_path):
+        rng = np.random.default_rng(0)
+        groups = [rng.standard_normal((4, 20, 2)).astype(np.float32) * 100]
+        with open(tmp_path / "sdd.pkl", "wb") as f:
+            pickle.dump(groups, f)
+        scenes = load_sdd(str(tmp_path))
         np.testing.assert_allclose(scenes[0]["obs"],
                                    groups[0][:, :8] / 50.0, atol=1e-5)
-        assert scenes[1]["pred"].shape == (5, 12, 2)
 
 
 class TestNba:

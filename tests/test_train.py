@@ -175,3 +175,14 @@ class TestCheckpoint:
         chex_equal = jax.tree_util.tree_map(
             lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), params, p2)
         assert all(jax.tree_util.tree_leaves(chex_equal))
+
+
+class TestMeshHelpers:
+    def test_hybrid_mesh_single_slice_fallback(self):
+        from sttode_tpu.parallel.mesh import make_hybrid_mesh
+        mesh = make_hybrid_mesh(ici_dp=4, tp=2, dcn_dp=1)
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_init_distributed_noop_single_host(self):
+        from sttode_tpu.parallel.mesh import init_distributed
+        assert init_distributed() is False
