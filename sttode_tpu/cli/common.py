@@ -74,6 +74,7 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         sample_k=args.sample_k, learn_prior=args.learn_prior,
         compat=args.compat, attn_axis=args.attn_axis,
         ode_method=args.ode_method, ode_steps=args.ode_steps,
+        ode_adjoint=args.ode_adjoint,
     )
 
 

@@ -21,11 +21,14 @@ DEFAULT_BUCKETS = (8, 16, 32, 64, 128)
 
 
 def bucket_for(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
-    """Smallest bucket ≥ n (last bucket caps — callers subsample above it)."""
+    """Smallest bucket ≥ n. Beyond the ladder (eval never subsamples), extend
+    by multiples of the largest bucket so huge scenes still get a valid padded
+    shape instead of a broadcast crash."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    top = buckets[-1]
+    return ((n + top - 1) // top) * top
 
 
 def _emit_group(group: list[dict], bucket: int, *, training: bool,

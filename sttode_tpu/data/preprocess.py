@@ -73,6 +73,8 @@ def prepare_scene(scene: dict, *, training: bool,
     past_vel, future_vel = _velocities(obs_abs, pred_abs)
     valid = np.ones((N,), np.float32)
 
+    if pad_to is not None and pad_to < N:
+        raise ValueError(f"pad_to={pad_to} smaller than agent count {N}")
     if pad_to is not None and pad_to > N:
         def pad(x):
             width = [(0, pad_to - N)] + [(0, 0)] * (x.ndim - 1)

@@ -78,12 +78,7 @@ def evaluate_nba(params, cfg: STTODEConfig, batches: Iterable[dict], key, *,
     n_scenes = 0
     for data in batches:
         batch = prepare_nba_batch(data)
-        batch = Batch(past=jax.numpy.asarray(batch.past),
-                      past_vel=jax.numpy.asarray(batch.past_vel),
-                      future=jax.numpy.asarray(batch.future),
-                      future_vel=jax.numpy.asarray(batch.future_vel),
-                      valid=jax.numpy.asarray(batch.valid),
-                      batch_size=batch.batch_size, agent_num=batch.agent_num)
+        batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
         key, sub = jax.random.split(key)
         preds = np.asarray(_infer(params, cfg, batch, sub, sample_k))
         preds = np.transpose(preds, (1, 0, 2, 3)) * traj_scale  # [M, K, T, 2]

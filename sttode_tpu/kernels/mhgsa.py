@@ -169,6 +169,15 @@ def _fused_fwd(q, k, v, mask, interpret):
     B = qp.shape[0]
     L, S, Dh, Lp, Sp, Dp = dims
     tile_l = min(Lp, 256)
+    if Lp % tile_l:
+        # q-rows must tile exactly: pad L up to a tile multiple (padded rows
+        # compute garbage that is sliced off; padded K columns are already
+        # masked)
+        extra = tile_l - (Lp % tile_l)
+        qp = jnp.pad(qp, ((0, 0), (0, extra), (0, 0)))
+        if mp is not None:
+            mp = jnp.pad(mp, ((0, 0), (0, extra), (0, 0)))
+        Lp += extra
     grid = (B, Lp // tile_l)
     has_mask = mp is not None
 

@@ -111,8 +111,9 @@ riemannian_gradient.defvjp(_rgrad_fwd, _rgrad_bwd)
 
 def project(x: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
     """Clip points back inside the ball of radius (1-1e-3)/√c
-    (reference pmath.py:76-103)."""
-    norm = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), _NORM_MIN)
+    (reference pmath.py:76-103). Uses the grad-safe norm: `where` evaluates
+    both branches' gradients, and d‖x‖/dx is NaN at x=0."""
+    norm = jnp.maximum(_safe_norm(x, keepdims=True), _NORM_MIN)
     maxnorm = (1 - _BALL_EPS) / jnp.sqrt(c)
     return jnp.where(norm > maxnorm, x / norm * maxnorm, x)
 
@@ -157,7 +158,7 @@ def dist0(x: jnp.ndarray, *, c: float = 1.0, keepdims: bool = False) -> jnp.ndar
 def expmap(x: jnp.ndarray, u: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
     """Exp_x(u) = x ⊕ tanh(√c λ_x ‖u‖ / 2) u/(√c‖u‖) (reference pmath.py:237-276)."""
     sqrt_c = c ** 0.5
-    u_norm = jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), _NORM_MIN)
+    u_norm = jnp.maximum(_safe_norm(u, keepdims=True), _NORM_MIN)
     second = tanh(sqrt_c / 2 * lambda_x(x, c=c, keepdims=True) * u_norm) * u / (sqrt_c * u_norm)
     return mobius_add(x, second, c=c)
 
@@ -165,14 +166,14 @@ def expmap(x: jnp.ndarray, u: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
 def expmap0(u: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
     """Exp_0(u) (reference pmath.py:279-304)."""
     sqrt_c = c ** 0.5
-    u_norm = jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), _NORM_MIN)
+    u_norm = jnp.maximum(_safe_norm(u, keepdims=True), _NORM_MIN)
     return tanh(sqrt_c * u_norm) * u / (sqrt_c * u_norm)
 
 
 def logmap(x: jnp.ndarray, y: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
     """Log_x(y) (reference pmath.py:307-338)."""
     sub = mobius_add(-x, y, c=c)
-    sub_norm = jnp.maximum(jnp.linalg.norm(sub, axis=-1, keepdims=True), _NORM_MIN)
+    sub_norm = jnp.maximum(_safe_norm(sub, keepdims=True), _NORM_MIN)
     lam = lambda_x(x, c=c, keepdims=True)
     sqrt_c = c ** 0.5
     return 2 / sqrt_c / lam * artanh(sqrt_c * sub_norm) * sub / sub_norm
@@ -181,16 +182,16 @@ def logmap(x: jnp.ndarray, y: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
 def logmap0(y: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
     """Log_0(y) (reference pmath.py:341-368)."""
     sqrt_c = c ** 0.5
-    y_norm = jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), _NORM_MIN)
+    y_norm = jnp.maximum(_safe_norm(y, keepdims=True), _NORM_MIN)
     return y / y_norm / sqrt_c * artanh(sqrt_c * y_norm)
 
 
 def mobius_matvec(m: jnp.ndarray, x: jnp.ndarray, *, c: float = 1.0) -> jnp.ndarray:
     """Möbius matrix-vector product M ⊗_c x (reference pmath.py:371-408)."""
     sqrt_c = c ** 0.5
-    x_norm = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), _NORM_MIN)
+    x_norm = jnp.maximum(_safe_norm(x, keepdims=True), _NORM_MIN)
     mx = x @ m.T
-    mx_norm = jnp.maximum(jnp.linalg.norm(mx, axis=-1, keepdims=True), _NORM_MIN)
+    mx_norm = jnp.maximum(_safe_norm(mx, keepdims=True), _NORM_MIN)
     res = tanh(mx_norm / x_norm * artanh(sqrt_c * x_norm)) * mx / (mx_norm * sqrt_c)
     zero_mx = jnp.all(mx == 0, axis=-1, keepdims=True)
     res = jnp.where(zero_mx, jnp.zeros_like(res), res)

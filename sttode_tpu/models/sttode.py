@@ -50,6 +50,8 @@ class STTODEConfig(NamedTuple):
     ode_time: float = 12.0
     ode_method: str = "euler"
     ode_steps: int = 1
+    ode_adjoint: bool = False     # O(1)-memory continuous-adjoint gradients
+                                  # through the ODE encoder
     past_length: int = 8
     future_length: int = 12
     num_decompose: int = 2
@@ -82,6 +84,8 @@ class STTODEConfig(NamedTuple):
             f"hidden_dim {self.hidden_dim} must divide num_heads {self.num_heads}"
         assert self.compat in ("reference", "tpu"), self.compat
         assert self.attn_axis in ("scene", "agent"), self.attn_axis
+        assert not (self.attn_axis == "agent" and self.compat == "reference"), \
+            "attn_axis='agent' requires compat='tpu' (see _encode_trunk)"
         assert self.ode_method in ("euler", "midpoint", "rk4", "dopri5"), \
             self.ode_method
         assert self.ode_steps >= 1 and self.sample_k >= 1
@@ -223,6 +227,12 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
     x = core.dense(p["input_fc2"], x)                          # [B, N, D]
     x = core.dense(p["input_fc3"], _add_category(x))           # [B, N, D]
 
+    if cfg.attn_axis == "agent" and cfg.compat == "reference":
+        raise ValueError(
+            "attn_axis='agent' requires compat='tpu': reference compat drops "
+            "attention masks (quirk Q2) and uses the transposed score "
+            "orientation (Q3), under which the agent validity mask is "
+            "ill-defined — padded agents would silently leak into attention")
     if cfg.attn_axis == "scene":
         tokens = x[:, :, None, :]                              # [L=B, N, 1, D]
         mask = None
@@ -232,7 +242,8 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
 
     z = ode_encoder(p["ode_layers"], tokens, cfg.layer_cfg, time=cfg.ode_time,
                     method=cfg.ode_method, steps=cfg.ode_steps, mask=mask,
-                    rng=k_ode, deterministic=not train)
+                    adjoint=cfg.ode_adjoint, rng=k_ode,
+                    deterministic=not train)
     if cfg.attn_axis == "scene":
         z = z[:, :, 0]                                         # [B, N, D]
     else:

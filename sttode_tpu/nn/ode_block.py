@@ -34,16 +34,19 @@ def ode_encoder(params: list, src: jnp.ndarray, cfg: LayerConfig, *,
     reference's single scaled-residual application (ODEG_Encoder,
     ode_demo.py:217-231); larger values integrate the same field more finely —
     a capability knob the reference's solver API admits but never exercises.
+
+    Params enter the solver through ``*args`` (not a closure) so the
+    continuous adjoint can produce parameter cotangents — ``odeint_adjoint``
+    differentiates only ``y0`` and ``*args``.
     """
-    def rhs(t, y):
+    def rhs(t, y, p):
         del t  # autonomous field: the reference RHS ignores t (ode_demo.py:53-72)
-        return encoder_stack(params, y, cfg, mask=mask, rng=rng,
+        return encoder_stack(p, y, cfg, mask=mask, rng=rng,
                              deterministic=deterministic)
 
     ts = jnp.linspace(0.0, time, steps + 1)
     integrate = odeint_adjoint if adjoint else odeint
-    kwargs = dict(method=method, rtol=rtol, atol=atol)
-    z = integrate(rhs, src, ts, **kwargs)
+    z = integrate(rhs, src, ts, params, method=method, rtol=rtol, atol=atol)
     z_final = jax.tree_util.tree_map(lambda x: x[-1], z)
     return jax.nn.relu(z_final)
 
@@ -54,18 +57,23 @@ def ode_decoder(params: list, tgt: jnp.ndarray, memory: jnp.ndarray,
                 deterministic: bool = True, steps: int = 1):
     """ODE-integrated decoder (reference ODEG, ode_demo.py:195-213 — fully
     implemented decoder-side ODE transformer the model never instantiates;
-    provided for capability parity). Returns (relu(z), attn-weight dict)."""
-    weights = {}
+    provided for capability parity). Returns (relu(z), attn-weight dict).
 
-    def rhs(t, y):
+    Attention weights cannot escape the solver's traced scan body; they are
+    produced by one extra stack evaluation at the final state — the weights of
+    the field at z(T), which is what the reference's capture-on-last-call
+    attribute plumbing observes for a one-step grid."""
+    def rhs(t, y, p):
         del t
-        out, sw, cw = decoder_stack(params, y, memory, cfg, tgt_mask=tgt_mask,
-                                    memory_mask=memory_mask, rng=rng,
-                                    deterministic=deterministic)
-        weights["self"], weights["cross"] = sw, cw
+        out, _, _ = decoder_stack(p, y, memory, cfg, tgt_mask=tgt_mask,
+                                  memory_mask=memory_mask, rng=rng,
+                                  deterministic=deterministic)
         return out
 
     ts = jnp.linspace(0.0, time, steps + 1)
-    z = odeint(rhs, tgt, ts, method=method)
+    z = odeint(rhs, tgt, ts, params, method=method)
     z_final = jax.tree_util.tree_map(lambda x: x[-1], z)
-    return jax.nn.relu(z_final), weights
+    _, sw, cw = decoder_stack(params, z_final, memory, cfg, tgt_mask=tgt_mask,
+                              memory_mask=memory_mask, rng=rng,
+                              deterministic=deterministic)
+    return jax.nn.relu(z_final), {"self": sw, "cross": cw}

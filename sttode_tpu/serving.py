@@ -76,28 +76,40 @@ class Predictor:
 
         out: list[np.ndarray | None] = [None] * len(scenes)
         key = jax.random.PRNGKey(seed)
+        # scene-axis attention (compat default) attends ACROSS stacked scenes
+        # — stacking unrelated requests would leak one request's data into
+        # another's prediction. Micro-batch only under agent-axis attention.
+        isolate = self.cfg.attn_axis != "agent"
         with self._lock:
-            for bucket, idxs in sorted(by_bucket.items()):
-                batches, origs, ns = [], [], []
-                for i in idxs:
-                    obs = np.asarray(scenes[i], np.float32)
-                    scene = {"obs": obs, "pred": np.zeros((len(obs), Tf, 2),
-                                                          np.float32)}
-                    b, orig = prepare_scene(scene, training=False,
-                                            pad_to=bucket)
-                    batches.append(b)
-                    origs.append(orig)
-                    ns.append(len(obs))
-                from sttode_tpu.data.preprocess import stack_scenes
-                batch = stack_scenes(batches)
-                batch = jax.tree_util.tree_map(jnp.asarray, batch)
-                key, sub = jax.random.split(key)
-                preds = np.asarray(self._fn(self.params, batch, sub))
-                K = preds.shape[0]
-                preds = preds.reshape(K, len(idxs), bucket, Tf, 2)
-                for j, i in enumerate(idxs):
-                    out[i] = preds[:, j, :ns[j]] + origs[j][None, None, None]
+            for bucket, raw_idxs in sorted(by_bucket.items()):
+                groups = [[i] for i in raw_idxs] if isolate else [raw_idxs]
+                for idxs in groups:
+                    self._run_group(scenes, idxs, bucket, out, key)
+                    key, _ = jax.random.split(key)
         return out  # type: ignore[return-value]
+
+    def _run_group(self, scenes, idxs, bucket, out, key):
+        """One device call for the scenes in ``idxs`` (all ≤ bucket agents)."""
+        from sttode_tpu.data.preprocess import stack_scenes
+
+        Tf = self.cfg.future_length
+        batches, origs, ns = [], [], []
+        for i in idxs:
+            obs = np.asarray(scenes[i], np.float32)
+            scene = {"obs": obs,
+                     "pred": np.zeros((len(obs), Tf, 2), np.float32)}
+            b, orig = prepare_scene(scene, training=False, pad_to=bucket)
+            batches.append(b)
+            origs.append(orig)
+            ns.append(len(obs))
+        batch = stack_scenes(batches)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        key, sub = jax.random.split(key)
+        preds = np.asarray(self._fn(self.params, batch, sub))
+        K = preds.shape[0]
+        preds = preds.reshape(K, len(idxs), bucket, Tf, 2)
+        for j, i in enumerate(idxs):
+            out[i] = preds[:, j, :ns[j]] + origs[j][None, None, None]
 
     def warmup(self, agent_counts: Sequence[int] = (1,), *, scenes_per: int = 1):
         """Pre-compile the buckets you expect in production."""

@@ -94,7 +94,10 @@ def train_epoch(step_fn: Callable, params, opt_state,
     prefetch thread so host prep + H2D overlap device compute."""
     from sttode_tpu.data.prefetch import prefetch as _prefetch
 
-    sums: dict[str, float] = {}
+    # metrics accumulate as device arrays — float() per step would force a
+    # host sync and serialize dispatch against compute; we only materialize
+    # at log boundaries and at epoch end.
+    sums: dict = {}
     count = 0
     stream = _prefetch(batches, size=prefetch_depth) if prefetch_depth \
         else batches
@@ -103,9 +106,10 @@ def train_epoch(step_fn: Callable, params, opt_state,
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub)
         count += 1
         for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + float(v)
+            sums[k] = sums.get(k, 0.0) + v
         if log_every and (i + 1) % log_every == 0:
-            msg = " ".join(f"{k}: {sums[k] / count:.4f}" for k in sorted(sums))
+            msg = " ".join(f"{k}: {float(sums[k]) / count:.4f}"
+                           for k in sorted(sums))
             log_fn(f"iter {i + 1}: {msg}")
-    means = {k: v / max(count, 1) for k, v in sums.items()}
+    means = {k: float(v) / max(count, 1) for k, v in sums.items()}
     return params, opt_state, means

@@ -162,7 +162,9 @@ class TestBatching:
         assert bucket_for(3) == 8
         assert bucket_for(8) == 8
         assert bucket_for(9) == 16
-        assert bucket_for(500) == 128
+        # beyond the ladder: extend by multiples of the top bucket so giant
+        # eval scenes still pad instead of crashing
+        assert bucket_for(500) == 512
 
     def test_scene_batches_static_shapes(self, rng):
         scenes = [{"obs": rng.standard_normal((n, 8, 2)).astype(np.float32),

@@ -94,3 +94,16 @@ class TestFusedBackward:
 
         g = jax.grad(loss)(x)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestLargeUnalignedL:
+    def test_L_not_multiple_of_tile(self, rng):
+        """Regression: L in (256, 512) not a multiple of 256 must not leave
+        output rows unwritten (grid floor-division bug)."""
+        q = jnp.asarray(rng.standard_normal((1, 300, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 300, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 300, 8)), jnp.float32)
+        fused = fused_geodesic_attention(q, k, v, interpret=True)
+        ref = ref_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=5e-5)

@@ -1,0 +1,131 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sttode_tpu.data.batching import bucket_for
+from sttode_tpu.models import Batch, STTODEConfig, sttode_init, sttode_forward
+from sttode_tpu.nn import LayerConfig, encoder_stack_init, ode_encoder
+from sttode_tpu.nn.attention import geodesic_scores
+from sttode_tpu.nn.hyperbolic import to_poincare
+from sttode_tpu.nn.ode_block import ode_decoder
+from sttode_tpu.nn.transformer import decoder_stack_init
+
+
+class TestAdjointParamGrads:
+    def test_ode_encoder_adjoint_trains(self, rng):
+        """Continuous adjoint must deliver nonzero parameter gradients —
+        params flow through odeint_adjoint's *args, not a closure."""
+        cfg = LayerConfig(d_model=16, num_heads=4, ff_dim=32)
+        params = encoder_stack_init(jax.random.PRNGKey(0), cfg, 1)
+        x = jnp.asarray(rng.standard_normal((2, 3, 1, 16)), jnp.float32)
+
+        def loss(p):
+            z = ode_encoder(p, x, cfg, time=1.0, method="rk4", steps=2,
+                            adjoint=True)
+            return jnp.sum(z ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert total > 0, "adjoint produced zero parameter gradients"
+
+    def test_adjoint_matches_direct_grads(self, rng):
+        cfg = LayerConfig(d_model=16, num_heads=4, ff_dim=32)
+        params = encoder_stack_init(jax.random.PRNGKey(0), cfg, 1)
+        x = jnp.asarray(rng.standard_normal((2, 2, 1, 16)) * 0.1, jnp.float32)
+
+        def loss(p, adjoint):
+            z = ode_encoder(p, x, cfg, time=0.5, method="rk4", steps=4,
+                            adjoint=adjoint)
+            return jnp.sum(z ** 2)
+
+        g_dir = jax.grad(lambda p: loss(p, False))(params)
+        g_adj = jax.grad(lambda p: loss(p, True))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_dir),
+                        jax.tree_util.tree_leaves(g_adj)):
+            # continuous vs discrete adjoint differ by the discretization
+            # error of the backward augmented integration — ~1% relative at
+            # h=0.125 rk4 (measured); assert the agreement, not identity
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-2, rtol=1e-1)
+
+
+class TestOdeDecoderWeights:
+    def test_weights_are_materializable(self, rng):
+        cfg = LayerConfig(d_model=16, num_heads=4, ff_dim=32)
+        params = decoder_stack_init(jax.random.PRNGKey(0), cfg, 1)
+        tgt = jnp.asarray(rng.standard_normal((2, 3, 1, 16)), jnp.float32)
+        mem = jnp.asarray(rng.standard_normal((4, 3, 1, 16)), jnp.float32)
+        z, w = ode_decoder(params, tgt, mem, cfg, time=1.0)
+        # no escaped tracers: weights convert to numpy cleanly
+        assert np.all(np.isfinite(np.asarray(w["self"])))
+        assert np.all(np.isfinite(np.asarray(w["cross"])))
+
+
+class TestAgentAxisGuard:
+    def test_agent_axis_with_reference_compat_raises(self, rng):
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           compat="reference", attn_axis="agent", sample_k=2)
+        with pytest.raises(AssertionError):
+            cfg.validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        M = 4
+        past = jnp.zeros((M, 8, 2))
+        batch = Batch(past=past, past_vel=past,
+                      future=jnp.zeros((M, 12, 2)),
+                      future_vel=jnp.zeros((M, 12, 2)),
+                      valid=jnp.ones((M,)), batch_size=1, agent_num=4)
+        with pytest.raises(ValueError, match="agent"):
+            sttode_forward(params, cfg, batch, jax.random.PRNGKey(1))
+
+
+class TestBucketOverflow:
+    def test_bucket_beyond_ladder(self):
+        assert bucket_for(150) == 256
+        assert bucket_for(129) == 256
+        assert bucket_for(300) == 384
+
+    def test_eval_huge_scene_does_not_crash(self, rng):
+        from sttode_tpu.data.batching import scene_batches
+        scenes = [{"obs": rng.standard_normal((150, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((150, 12, 2)).astype(
+                       np.float32)}]
+        (batch, origs), = scene_batches(scenes, training=False)
+        assert batch.agent_num == 256
+        assert float(batch.valid.sum()) == 150
+
+
+class TestPoincareGradAtZero:
+    def test_zero_rows_grad_finite(self):
+        x = jnp.zeros((3, 8)).at[0].set(0.3)
+
+        def loss_scores(x):
+            return jnp.sum(geodesic_scores(x, x, compat="tpu",
+                                           metric="poincare"))
+
+        def loss_ball(x):
+            return jnp.sum(to_poincare(x, riemannian=False) ** 2)
+
+        for fn in (loss_scores, loss_ball):
+            g = jax.grad(fn)(x)
+            assert np.all(np.isfinite(np.asarray(g))), fn.__name__
+
+
+class TestServingIsolation:
+    def test_scene_axis_requests_isolated(self, rng):
+        """With scene-axis attention (default), a request's prediction must
+        not depend on other requests in the micro-batch."""
+        from sttode_tpu.serving import Predictor
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           past_length=8, future_length=12, sample_k=2)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        pred = Predictor(params, cfg)
+        a = rng.standard_normal((3, 8, 2)).astype(np.float32)
+        b = rng.standard_normal((3, 8, 2)).astype(np.float32) * 10
+        solo = pred.predict_many([a], seed=0)[0]
+        together = pred.predict_many([a, b], seed=0)[0]
+        np.testing.assert_allclose(together, solo, atol=1e-5)
