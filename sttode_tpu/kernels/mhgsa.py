@@ -108,33 +108,47 @@ def _make_fwd_kernel(s_real: int, has_mask: bool):
 
 
 def _make_bwd_kernel(s_real: int, has_mask: bool):
+    """Backward, tiled over q-rows (grid dim 1). dq is per-tile; dk̂/dv
+    accumulate across the sequential TPU grid into full-S output blocks
+    (initialized at tile 0). The k-side normalization VJP needs the COMPLETE
+    dk̂ sum, so it is applied outside the kernel on the accumulated dkn."""
     def kernel(q_ref, k_ref, v_ref, *rest):
         if has_mask:
-            mask_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
+            mask_ref, do_ref, dq_ref, dkn_ref, dv_ref = rest
         else:
-            do_ref, dq_ref, dk_ref, dv_ref = rest
+            do_ref, dq_ref, dkn_ref, dv_ref = rest
+        i = pl.program_id(1)
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         qn, q_norm = _normalize_rows(q)
-        kn, k_norm = _normalize_rows(k)
+        kn, _ = _normalize_rows(k)
         g, gc, s = _scores(qn, kn, s_real)
         if has_mask:
             s = s + mask_ref[0]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)           # [L, S]
+        p = e / jnp.sum(e, axis=-1, keepdims=True)           # [TL, S]
 
-        dv_ref[0] = _dot(p, do, ((0,), (0,)))
         dp = _dot(do, v, ((1,), (1,)))
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         inside = jnp.abs(g) < (1.0 - EPS)
         dg = jnp.where(inside, ds * jax.lax.rsqrt(
-            jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)         # [L, S]
+            jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)         # [TL, S]
         dqn = _dot(dg, kn, ((1,), (0,)))
-        dkn = _dot(dg, qn, ((0,), (0,)))
         dq_ref[0] = (dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) / \
             jnp.maximum(q_norm, NORM_FLOOR)
-        dk_ref[0] = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) / \
-            jnp.maximum(k_norm, NORM_FLOOR)
+
+        dv_part = _dot(p, do, ((0,), (0,)))                  # [S, Dh]
+        dkn_part = _dot(dg, qn, ((0,), (0,)))                # [S, Dh]
+
+        @pl.when(i == 0)
+        def _():
+            dv_ref[0] = dv_part
+            dkn_ref[0] = dkn_part
+
+        @pl.when(i > 0)
+        def _():
+            dv_ref[0] += dv_part
+            dkn_ref[0] += dkn_part
     return kernel
 
 
@@ -220,11 +234,21 @@ def _fused_bwd(interpret, res, do):
     dop = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(do)
     has_mask = mp is not None
 
-    spec_q = pl.BlockSpec((1, Lp, Dp), lambda b: (b, 0, 0),
+    tile_l = min(Lp, 256)
+    if Lp % tile_l:
+        extra = tile_l - (Lp % tile_l)
+        qp = jnp.pad(qp, ((0, 0), (0, extra), (0, 0)))
+        dop = jnp.pad(dop, ((0, 0), (0, extra), (0, 0)))
+        if mp is not None:
+            mp = jnp.pad(mp, ((0, 0), (0, extra), (0, 0)))
+        Lp += extra
+    grid = (B, Lp // tile_l)
+
+    spec_q = pl.BlockSpec((1, tile_l, Dp), lambda b, i: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((1, Sp, Dp), lambda b: (b, 0, 0),
+    spec_k = pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_m = pl.BlockSpec((1, Lp, Sp), lambda b: (b, 0, 0),
+    spec_m = pl.BlockSpec((1, tile_l, Sp), lambda b, i: (b, i, 0),
                           memory_space=pltpu.VMEM)
     in_specs = [spec_q, spec_k, spec_k]
     args = [qp, kp, vp]
@@ -234,9 +258,9 @@ def _fused_bwd(interpret, res, do):
     in_specs.append(spec_q)
     args.append(dop)
 
-    dq, dk, dv = pl.pallas_call(
+    dq, dkn, dv = pl.pallas_call(
         _make_bwd_kernel(S, has_mask),
-        grid=(B,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=[spec_q, spec_k, spec_k],
         out_shape=[
@@ -246,8 +270,16 @@ def _fused_bwd(interpret, res, do):
         ],
         interpret=interpret,
     )(*args)
+    # k-side row-normalize VJP outside the kernel: it needs the full dk-hat
+    # sum over all q-tiles, which only exists after the grid completes.
+    dkn = dkn[:, :S, :Dh]
+    k3 = k.astype(jnp.float32)
+    k_norm = jnp.sqrt(jnp.sum(k3 * k3, axis=-1, keepdims=True))
+    kn = k3 / jnp.maximum(k_norm, NORM_FLOOR)
+    dk = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) / \
+        jnp.maximum(k_norm, NORM_FLOOR)
     d_mask = None if mask is None else jnp.zeros_like(mask)
-    return (dq[:, :L, :Dh], dk[:, :S, :Dh], dv[:, :S, :Dh], d_mask)
+    return (dq[:, :L, :Dh], dk, dv[:, :S, :Dh], d_mask)
 
 
 _fused_core.defvjp(lambda q, k, v, m, interp: _fused_fwd(q, k, v, m, interp),

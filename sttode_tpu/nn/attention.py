@@ -134,10 +134,11 @@ def _should_fuse(q, k, dropout_active: bool, need_weights: bool,
     if jax.default_backend() != "tpu":
         return False
     L, S = q.shape[-2], k.shape[-2]
-    # upper bound: the backward kernel holds the full [L, S] score block in
-    # VMEM (~16 MB/core); beyond that the ring/sequence-parallel path is the
-    # right tool, so auto-routing falls back to XLA here.
-    if L * S * 4 > 8 * 1024 * 1024:
+    # upper bound: the kernels tile q-rows at 256 but keep full-S K/V and
+    # [256, S] score blocks in VMEM (~16 MB/core). ~4 score-sized
+    # intermediates in the backward put the practical ceiling near S ≈ 2k;
+    # beyond that the ring/sequence-parallel path is the right tool.
+    if S > 2048:
         return False
     return L * S >= 256 * 256
 
