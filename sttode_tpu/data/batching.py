@@ -61,18 +61,25 @@ def scene_batches(scenes: list[dict], *, training: bool,
     scenes_per_batch=1 reproduces the reference's per-scene stepping (padded);
     >1 groups same-bucket scenes into one SPMD batch (use attn_axis='agent').
     """
+    if training and rng is None:
+        raise ValueError("scene_batches(training=True) needs an rng — "
+                         "shuffling, augmentation, and agent subsampling all "
+                         "draw from it (silently skipping them would change "
+                         "training statistics)")
     if shuffle is None:
         shuffle = training
     order = np.arange(len(scenes))
     if shuffle and rng is not None:
         rng.shuffle(order)
 
-    cap = min(max_train_agent, buckets[-1])
+    # the reference cap semantics exactly: subsample above max_train_agent;
+    # the bucket ladder extends as needed (bucket_for), so no silent re-cap
+    cap = max_train_agent
     pending: dict[int, list] = {}
     for i in order:
         scene = scenes[i]
         n = scene["obs"].shape[0]
-        if training and rng is not None and n > cap:
+        if training and n > cap:
             # quirk Q6: subsample WITH replacement above the cap
             idx = rng.choice(n, cap)
             scene = {"obs": scene["obs"][idx], "pred": scene["pred"][idx]}

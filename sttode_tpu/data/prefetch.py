@@ -33,22 +33,39 @@ def prefetch(batches: Iterable, *, size: int = 2,
 
     q: queue.Queue = queue.Queue(maxsize=size)
     err: list[BaseException] = []
+    cancelled = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded-wait put so an abandoned consumer (step exception,
+        # KeyboardInterrupt, generator close) releases the producer instead
+        # of leaking a thread pinning device buffers
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for b in batches:
-                q.put(device_put(b))
+                if not _put(device_put(b)):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        cancelled.set()

@@ -114,7 +114,7 @@ def _make_bwd_kernel(s_real: int, has_mask: bool):
     dk̂ sum, so it is applied outside the kernel on the accumulated dkn."""
     def kernel(q_ref, k_ref, v_ref, *rest):
         if has_mask:
-            mask_ref, do_ref, dq_ref, dkn_ref, dv_ref = rest
+            mask_ref, do_ref, dq_ref, dkn_ref, dv_ref, dmask_ref = rest
         else:
             do_ref, dq_ref, dkn_ref, dv_ref = rest
         i = pl.program_id(1)
@@ -130,6 +130,9 @@ def _make_bwd_kernel(s_real: int, has_mask: bool):
 
         dp = _dot(do, v, ((1,), (1,)))
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if has_mask:
+            # the mask enters additively in the scores: dL/dmask = ds
+            dmask_ref[0] = ds
         inside = jnp.abs(g) < (1.0 - EPS)
         dg = jnp.where(inside, ds * jax.lax.rsqrt(
             jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)         # [TL, S]
@@ -153,9 +156,10 @@ def _make_bwd_kernel(s_real: int, has_mask: bool):
 
 
 def _pad_inputs(q, k, v, mask):
-    """Pad (L, S, Dh) to hardware tiles. With an explicit mask, padded key
-    columns get -inf there; without one the kernel's iota predicate covers
-    padding and no mask array exists at all."""
+    """Pad (L, S, Dh) to hardware tiles. Padded key columns are ALWAYS
+    disabled by the in-kernel iota predicate (_scores); the padded region of an
+    explicit mask is zero-filled and contributes nothing — do not remove the
+    iota predicate."""
     B, L, Dh = q.shape
     S = k.shape[1]
     Lp = _round_up(L, _SUBLANE)
@@ -258,18 +262,25 @@ def _fused_bwd(interpret, res, do):
     in_specs.append(spec_q)
     args.append(dop)
 
-    dq, dkn, dv = pl.pallas_call(
+    out_specs = [spec_q, spec_k, spec_k]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
+    ]
+    if has_mask:
+        out_specs.append(spec_m)
+        out_shape.append(jax.ShapeDtypeStruct((B, Lp, Sp), jnp.float32))
+    outs = pl.pallas_call(
         _make_bwd_kernel(S, has_mask),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[spec_q, spec_k, spec_k],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    dq, dkn, dv = outs[:3]
+    d_mask_full = outs[3] if has_mask else None
     # k-side row-normalize VJP outside the kernel: it needs the full dk-hat
     # sum over all q-tiles, which only exists after the grid completes.
     dkn = dkn[:, :S, :Dh]
@@ -278,7 +289,7 @@ def _fused_bwd(interpret, res, do):
     kn = k3 / jnp.maximum(k_norm, NORM_FLOOR)
     dk = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) / \
         jnp.maximum(k_norm, NORM_FLOOR)
-    d_mask = None if mask is None else jnp.zeros_like(mask)
+    d_mask = None if mask is None else d_mask_full[:, :L, :S]
     return (dq[:, :L, :Dh], dk, dv[:, :S, :Dh], d_mask)
 
 

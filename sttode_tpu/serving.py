@@ -11,14 +11,17 @@ Design notes (TPU serving):
   a cold bucket pays one compile, everything after hits the XLA fast path.
 - **Zero host round-trips in the hot path**: scene-origin re-add happens on
   the padded device output once, then a single D2H transfer.
-- **Determinism**: callers pass a seed; the same (seed, scene) pair always
-  returns the same samples.
+- **Determinism**: per-scene keys are folded from (seed, scene-content hash),
+  so the same (seed, scene) pair returns the same samples regardless of what
+  else shares the call — except under agent-axis micro-batching, where the
+  contract is per (seed, group).
 """
 
 from __future__ import annotations
 
 import functools
 import threading
+import zlib
 from typing import Sequence
 
 import numpy as np
@@ -26,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from sttode_tpu.data.batching import DEFAULT_BUCKETS, bucket_for
-from sttode_tpu.data.preprocess import prepare_scene
 from sttode_tpu.models.sttode import STTODEConfig, sttode_inference
 
 
@@ -39,12 +41,15 @@ class Predictor:
 
     def __init__(self, params, cfg: STTODEConfig, *,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 sample_k: int | None = None):
+                 sample_k: int | None = None, max_group: int = 16):
         self.params = jax.device_put(params)
         self.cfg = cfg
         self.buckets = tuple(buckets)
         self.sample_k = sample_k or cfg.sample_k
+        self.max_group = max_group   # cap scenes per device call (compile
+                                     # churn + HBM bound for request bursts)
         self._lock = threading.Lock()
+        self._fn = self._infer_fn()  # eager: no double-compile race on first use
 
     def _infer_fn(self):
         cfg, K = self.cfg, self.sample_k
@@ -62,9 +67,8 @@ class Predictor:
 
     def predict_many(self, scenes: Sequence[np.ndarray], *,
                      seed: int = 0) -> list[np.ndarray]:
-        """Multiple scenes; same-bucket scenes share one device call."""
-        if not hasattr(self, "_fn"):
-            self._fn = self._infer_fn()
+        """Multiple scenes; same-bucket scenes share one device call (capped
+        at ``max_group`` scenes per call)."""
         Tp, Tf = self.cfg.past_length, self.cfg.future_length
         by_bucket: dict[int, list[int]] = {}
         for i, obs in enumerate(scenes):
@@ -75,39 +79,49 @@ class Predictor:
                                  []).append(i)
 
         out: list[np.ndarray | None] = [None] * len(scenes)
-        key = jax.random.PRNGKey(seed)
+        base_key = jax.random.PRNGKey(seed)
         # scene-axis attention (compat default) attends ACROSS stacked scenes
         # — stacking unrelated requests would leak one request's data into
         # another's prediction. Micro-batch only under agent-axis attention.
         isolate = self.cfg.attn_axis != "agent"
+        cap = 1 if isolate else self.max_group
         with self._lock:
             for bucket, raw_idxs in sorted(by_bucket.items()):
-                groups = [[i] for i in raw_idxs] if isolate else [raw_idxs]
-                for idxs in groups:
+                for g0 in range(0, len(raw_idxs), cap):
+                    idxs = raw_idxs[g0:g0 + cap]
+                    # fold the scenes' content into the key: same (seed,
+                    # scene) → same samples independent of batch composition
+                    digest = 0
+                    for i in idxs:
+                        arr = np.ascontiguousarray(scenes[i], np.float32)
+                        # crc32, not hash(): stable across processes
+                        digest ^= zlib.crc32(arr.tobytes()) & 0x7FFFFFFF
+                    key = jax.random.fold_in(base_key, digest)
                     self._run_group(scenes, idxs, bucket, out, key)
-                    key, _ = jax.random.split(key)
         return out  # type: ignore[return-value]
 
     def _run_group(self, scenes, idxs, bucket, out, key):
-        """One device call for the scenes in ``idxs`` (all ≤ bucket agents)."""
-        from sttode_tpu.data.preprocess import stack_scenes
+        """One device call for the scenes in ``idxs`` (all ≤ bucket agents);
+        one vectorized numpy pass prepares the whole group."""
+        from sttode_tpu.data.preprocess import prepare_scene_group
 
-        Tf = self.cfg.future_length
-        batches, origs, ns = [], [], []
-        for i in idxs:
-            obs = np.asarray(scenes[i], np.float32)
-            scene = {"obs": obs,
-                     "pred": np.zeros((len(obs), Tf, 2), np.float32)}
-            b, orig = prepare_scene(scene, training=False, pad_to=bucket)
-            batches.append(b)
-            origs.append(orig)
-            ns.append(len(obs))
-        batch = stack_scenes(batches)
+        Tp, Tf = self.cfg.past_length, self.cfg.future_length
+        B = len(idxs)
+        obs = np.zeros((B, bucket, Tp, 2), np.float32)
+        valid = np.zeros((B, bucket), np.float32)
+        ns = []
+        for j, i in enumerate(idxs):
+            a = np.asarray(scenes[i], np.float32)
+            obs[j, :len(a)] = a
+            valid[j, :len(a)] = 1.0
+            ns.append(len(a))
+        pred_zeros = np.zeros((B, bucket, Tf, 2), np.float32)
+        batch, origs = prepare_scene_group(obs, pred_zeros, valid,
+                                           training=False)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
-        key, sub = jax.random.split(key)
-        preds = np.asarray(self._fn(self.params, batch, sub))
+        preds = np.asarray(self._fn(self.params, batch, key))
         K = preds.shape[0]
-        preds = preds.reshape(K, len(idxs), bucket, Tf, 2)
+        preds = preds.reshape(K, B, bucket, Tf, 2)
         for j, i in enumerate(idxs):
             out[i] = preds[:, j, :ns[j]] + origs[j][None, None, None]
 

@@ -107,3 +107,25 @@ class TestLargeUnalignedL:
         ref = ref_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                    atol=5e-5)
+
+
+class TestMaskGradient:
+    def test_mask_cotangent_matches_jnp(self, rng):
+        """Regression: the fused VJP must produce the softmax-VJP mask
+        gradient, not zeros."""
+        q = jnp.asarray(rng.standard_normal((1, 6, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
+        m0 = jnp.asarray(rng.standard_normal((1, 6, 9)) * 0.1, jnp.float32)
+
+        def loss_fused(m):
+            return jnp.sum(fused_geodesic_attention(
+                q, k, v, mask=m, interpret=True) ** 2)
+
+        def loss_ref(m):
+            return jnp.sum(ref_attention(q, k, v, mask=m) ** 2)
+
+        gf = jax.grad(loss_fused)(m0)
+        gr = jax.grad(loss_ref)(m0)
+        assert float(jnp.abs(gr).max()) > 1e-3  # the oracle grad is nonzero
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5)

@@ -129,3 +129,61 @@ class TestServingIsolation:
         solo = pred.predict_many([a], seed=0)[0]
         together = pred.predict_many([a, b], seed=0)[0]
         np.testing.assert_allclose(together, solo, atol=1e-5)
+
+
+class TestSecondReviewFixes:
+    def test_serving_determinism_across_compositions(self, rng):
+        """Same (seed, scene) → same samples regardless of batch company."""
+        from sttode_tpu.serving import Predictor
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           sample_k=2)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        p = Predictor(params, cfg)
+        a = rng.standard_normal((3, 8, 2)).astype(np.float32)
+        b = rng.standard_normal((4, 8, 2)).astype(np.float32)
+        solo = p.predict(b, seed=9)
+        batched = p.predict_many([a, b], seed=9)[1]
+        np.testing.assert_array_equal(solo, batched)
+
+    def test_serving_group_cap(self, rng):
+        from sttode_tpu.serving import Predictor
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           sample_k=2, compat="tpu", attn_axis="agent")
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        p = Predictor(params, cfg, max_group=2)
+        scenes = [rng.standard_normal((3, 8, 2)).astype(np.float32)
+                  for _ in range(5)]
+        outs = p.predict_many(scenes, seed=0)
+        assert all(o.shape == (2, 3, 12, 2) for o in outs)
+
+    def test_training_without_rng_raises(self, rng):
+        from sttode_tpu.data.batching import scene_batches
+        scenes = [{"obs": rng.standard_normal((3, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((3, 12, 2)).astype(np.float32)}]
+        with pytest.raises(ValueError, match="rng"):
+            list(scene_batches(scenes, training=True))
+
+    def test_prefetch_abandonment_releases_producer(self):
+        import threading
+        import time
+        from sttode_tpu.data.prefetch import prefetch
+
+        n_before = threading.active_count()
+        it = prefetch(iter(range(100)), size=1, device_put=lambda x: x)
+        next(it)
+        it.close()          # abandon mid-stream
+        time.sleep(0.5)     # bounded-wait put should let the thread exit
+        assert threading.active_count() <= n_before + 1
+
+    def test_max_train_agent_respected_beyond_ladder(self, rng):
+        """max_train_agent above the ladder top is honored, not silently
+        re-capped to 128."""
+        from sttode_tpu.data.batching import scene_batches
+        scenes = [{"obs": rng.standard_normal((200, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((200, 12, 2)).astype(
+                       np.float32)}]
+        (batch, _), = scene_batches(scenes, training=True,
+                                    rng=np.random.default_rng(0),
+                                    max_train_agent=150)
+        assert float(batch.valid.sum()) == 150
+        assert batch.agent_num == 256

@@ -33,12 +33,18 @@ class TestPredictor:
 
     def test_translation_equivariance(self, predictor, rng):
         """Absolute-coordinate handling: shifting the scene shifts the
-        prediction (scene origin is subtracted/re-added)."""
+        prediction (scene origin is subtracted/re-added). The sampling key is
+        pinned manually — the public API folds scene content into the key, so
+        a shifted scene legitimately draws different samples."""
+        import jax
         obs = rng.standard_normal((2, 8, 2)).astype(np.float32)
         shift = np.float32([50.0, -20.0])
-        a = predictor.predict(obs, seed=3)
-        b = predictor.predict(obs + shift, seed=3)
-        np.testing.assert_allclose(b, a + shift, atol=1e-3)
+        key = jax.random.PRNGKey(3)
+        out_a: list = [None]
+        out_b: list = [None]
+        predictor._run_group([obs], [0], 8, out_a, key)
+        predictor._run_group([obs + shift], [0], 8, out_b, key)
+        np.testing.assert_allclose(out_b[0], out_a[0] + shift, atol=1e-3)
 
     def test_many_scenes_mixed_buckets(self, predictor, rng):
         scenes = [rng.standard_normal((n, 8, 2)).astype(np.float32)
