@@ -115,6 +115,32 @@ class TestForward:
 
 
 class TestGradients:
+    def test_sparse_diverse_grad_matches_dense(self, rng):
+        """diverse_grad="sparse" (select winner gradient-free, recompute only
+        it differentiably) must produce the same total loss AND the same
+        parameter gradients as plain autodiff through all K samples — the min
+        flows through the argmin branch only, so the two are identical up to
+        fp reassociation."""
+        cfg_d = tiny_cfg(diverse_grad="dense").validate()
+        cfg_s = cfg_d._replace(diverse_grad="sparse").validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg_d)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(3)
+
+        def loss(p, cfg):
+            return sttode_forward(p, cfg, batch, key, train=True).total_loss
+
+        ld, gd = jax.value_and_grad(lambda p: loss(p, cfg_d))(params)
+        ls, gs = jax.value_and_grad(lambda p: loss(p, cfg_s))(params)
+        np.testing.assert_allclose(float(ld), float(ls), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gd),
+                        jax.tree_util.tree_leaves(gs)):
+            a, b = np.asarray(a), np.asarray(b)
+            # absolute tolerance scaled per-leaf: near-zero entries of large
+            # gradients differ by fp reassociation between the two layouts
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5 * max(np.max(np.abs(a)), 1.0))
+
     def test_grads_flow_everywhere(self, rng):
         cfg = tiny_cfg()
         params = sttode_init(jax.random.PRNGKey(0), cfg)
