@@ -54,6 +54,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ode_steps", type=int, default=1)
     p.add_argument("--ode_adjoint", action="store_true")
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="optimizer steps fused into one device dispatch via "
+                        "lax.scan over stacked batches (amortizes dispatch "
+                        "latency; 1 = step-per-dispatch)")
     return p
 
 

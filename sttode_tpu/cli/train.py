@@ -71,7 +71,8 @@ def main(argv=None):
     from sttode_tpu.utils.profiling import param_count
     print(f"model parameters: {param_count(params):,}")
 
-    step_fn = make_train_step(cfg, opt, donate=True)
+    step_fn = make_train_step(cfg, opt, donate=True,
+                              scan_steps=args.scan_steps)
 
     supervisor = None
     if args.supervise:
@@ -93,7 +94,7 @@ def main(argv=None):
         params, opt_state, means = train_epoch(
             step_fn, params, opt_state,
             batch_stream(args, data, nprng, cfg), k_epoch,
-            log_every=args.log_every)
+            log_every=args.log_every, scan_steps=args.scan_steps)
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
             print(f"profiler trace written to {args.profile_dir}")

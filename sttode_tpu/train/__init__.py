@@ -10,6 +10,7 @@ from sttode_tpu.train.checkpoint import (
 from sttode_tpu.train.loop import (
     make_sampler_train_step,
     make_train_step,
+    stack_batches,
     train_epoch,
 )
 from sttode_tpu.train.schedulers import (
@@ -24,6 +25,6 @@ from sttode_tpu.train.schedulers import (
 __all__ = [
     "checkpoint_epochs", "latest_checkpoint", "load_checkpoint",
     "save_checkpoint", "make_sampler_train_step", "make_train_step",
-    "train_epoch", "ExpParamAnnealer", "ReduceOnPlateau",
+    "stack_batches", "train_epoch", "ExpParamAnnealer", "ReduceOnPlateau",
     "adam_with_schedule", "lambda_lr", "set_lr", "step_lr",
 ]

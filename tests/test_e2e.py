@@ -47,9 +47,11 @@ def test_full_two_stage_pipeline(workspace):
     io_args = ["--data_root", workspace["data_root"],
                "--ckpt_dir", workspace["ckpt_dir"]]
 
-    # stage 1: 2 epochs, checkpoint every epoch
+    # stage 1: 2 epochs, checkpoint every epoch; scan_steps exercises the
+    # multi-step-per-dispatch train loop (incl. the odd-length epoch tail)
     train_cli.main(COMMON + io_args + ["--num_epochs", "2",
-                                       "--model_save_epoch", "1"])
+                                       "--model_save_epoch", "1",
+                                       "--scan_steps", "2"])
     ckpts = os.listdir(os.path.join(workspace["ckpt_dir"], "eth"))
     assert "model_0001" in ckpts and "model_0002" in ckpts
 

@@ -51,6 +51,52 @@ class TestTrainStep:
                                    params, p2)
         assert max(jax.tree_util.tree_leaves(d)) > 0
 
+    def test_scanned_step_matches_sequential(self, rng):
+        """scan_steps: S optimizer steps in one dispatch must produce the same
+        params/metrics as S sequential single-step dispatches (the scanned
+        step splits its key into the same per-step subkeys)."""
+        from sttode_tpu.train import stack_batches
+        cfg = tiny_cfg()
+        opt = optax.adam(1e-3)
+        batches = [make_batch(rng) for _ in range(3)]
+        key = jax.random.PRNGKey(5)
+
+        params_a = sttode_init(jax.random.PRNGKey(0), cfg)
+        state_a = opt.init(params_a)
+        step1 = make_train_step(cfg, opt, donate=False)
+        for b, k in zip(batches, jax.random.split(key, 3)):
+            params_a, state_a, m_a = step1(params_a, state_a, b, k)
+
+        params_b = sttode_init(jax.random.PRNGKey(0), cfg)
+        state_b = opt.init(params_b)
+        stepS = make_train_step(cfg, opt, donate=False, scan_steps=3)
+        params_b, state_b, m_b = stepS(params_b, state_b,
+                                       stack_batches(batches), key)
+        assert np.asarray(m_b["total"]).shape == (3,)
+        np.testing.assert_allclose(float(m_a["total"]),
+                                   float(m_b["total"][-1]), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                        jax.tree_util.tree_leaves(params_b)):
+            # scan-body vs unrolled compilation reassociates fp reductions;
+            # tolerance is fp32-noise-level, not semantic
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)
+
+    def test_train_epoch_scanned_with_tail(self, rng):
+        """Epoch driver groups batches into scan chunks and flushes the
+        shorter tail (5 batches, scan_steps=2 → dispatches of 2/2/1)."""
+        cfg = tiny_cfg()
+        opt = optax.adam(1e-3)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        state = opt.init(params)
+        step = make_train_step(cfg, opt, donate=False, scan_steps=2)
+        batches = [(make_batch(rng), None) for _ in range(5)]
+        params, state, means = train_epoch(step, params, state, batches,
+                                           jax.random.PRNGKey(1),
+                                           scan_steps=2, prefetch_depth=0)
+        assert set(means) >= {"total", "pred", "kl"}
+        assert all(np.isfinite(v) for v in means.values())
+
     def test_train_epoch_driver(self, rng):
         cfg = tiny_cfg()
         params = sttode_init(jax.random.PRNGKey(0), cfg)
