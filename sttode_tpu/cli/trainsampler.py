@@ -78,23 +78,26 @@ def main(argv=None):
                               "opt_state": opt_state, "epoch": np.asarray(0)})
         print(f"resumed sampler epoch {start_epoch}")
 
-    step_fn = make_sampler_train_step(cfg, scfg, opt, donate=True)
+    step_fn = make_sampler_train_step(cfg, scfg, opt, donate=True,
+                                      scan_steps=args.scan_steps)
     data = common.load_scenes(args, "train")
+
+    from sttode_tpu.train import train_epoch
+
+    def bound_step(sp, o, batch, sub):
+        # train_epoch's (params, opt_state, batch, key) contract; the frozen
+        # net params are a closed-over constant
+        return step_fn(sp, net_params, o, batch, sub)
 
     for epoch in range(start_epoch, args.num_epochs):
         opt_state = set_lr(opt_state, schedule(epoch))
         t0 = time.time()
-        sums, count = {}, 0
-        for batch, _aux in batch_stream(args, data, nprng, cfg):
-            key, sub = jax.random.split(key)
-            batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
-            sampler_params, opt_state, metrics = step_fn(
-                sampler_params, net_params, opt_state, batch, sub)
-            count += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        msg = " ".join(f"{k}: {v / max(count, 1):.4f}"
-                       for k, v in sorted(sums.items()))
+        key, k_epoch = jax.random.split(key)
+        sampler_params, opt_state, means = train_epoch(
+            bound_step, sampler_params, opt_state,
+            batch_stream(args, data, nprng, cfg), k_epoch,
+            log_every=args.log_every, scan_steps=args.scan_steps)
+        msg = " ".join(f"{k}: {v:.4f}" for k, v in sorted(means.items()))
         print(f"sampler epoch {epoch:03d} [{time.time() - t0:.1f}s] {msg}")
         if (epoch + 1) % args.model_save_epoch == 0:
             path = save_checkpoint(sdir, epoch + 1, sampler_params, opt_state,

@@ -104,11 +104,16 @@ def make_train_step(cfg: STTODEConfig, optimizer: optax.GradientTransformation,
 
 def make_sampler_train_step(cfg: STTODEConfig, scfg: SamplerConfig,
                             optimizer: optax.GradientTransformation,
-                            *, donate: bool = True) -> Callable:
+                            *, donate: bool = True,
+                            scan_steps: int = 1) -> Callable:
     """Compiled stage-2 step (frozen net): (sampler_params, net_params,
-    opt_state, batch, key) → (sampler_params, opt_state, metrics)."""
+    opt_state, batch, key) → (sampler_params, opt_state, metrics).
 
-    def step(sampler_params, net_params, opt_state, batch: Batch, key):
+    ``scan_steps > 1`` takes a stacked batch ([S, ...] array fields, see
+    ``stack_batches``) and runs S steps per dispatch, like
+    ``make_train_step``; the frozen net params ride along as a constant."""
+
+    def one(sampler_params, net_params, opt_state, batch: Batch, key):
         def loss_fn(sp):
             out = sampler_forward(sp, net_params, scfg, cfg, batch, key)
             total, parts = sampler_loss(out, scfg, batch)
@@ -120,6 +125,23 @@ def make_sampler_train_step(cfg: STTODEConfig, scfg: SamplerConfig,
         sampler_params = optax.apply_updates(sampler_params, updates)
         metrics = {"total": total, **parts}
         return sampler_params, opt_state, metrics
+
+    if scan_steps == 1:
+        step = one
+    else:
+        def step(sampler_params, net_params, opt_state, batches: Batch, key):
+            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+            def body(carry, xs):
+                sp, o = carry
+                b, k = xs
+                sp, o, m = one(sp, net_params, o, b, k)
+                return (sp, o), m
+
+            (sampler_params, opt_state), metrics = jax.lax.scan(
+                body, (sampler_params, opt_state),
+                (batches, jax.random.split(key, n)))
+            return sampler_params, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 2) if donate else ())
 

@@ -66,7 +66,8 @@ def test_full_two_stage_pipeline(workspace):
     # stage 2: sampler on the frozen net
     trainsampler_cli.main(COMMON + io_args + [
         "--num_epochs", "1", "--model_save_epoch", "1",
-        "--qnet_mlp", "32", "16", "--nz", "8", "--kld_min_clamp", "0.0"])
+        "--qnet_mlp", "32", "16", "--nz", "8", "--kld_min_clamp", "0.0",
+        "--scan_steps", "2"])
     sdir = os.path.join(workspace["ckpt_dir"], "eth", "sampler")
     assert os.path.isdir(sdir) and os.listdir(sdir)
 

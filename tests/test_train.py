@@ -97,6 +97,38 @@ class TestTrainStep:
         assert set(means) >= {"total", "pred", "kl"}
         assert all(np.isfinite(v) for v in means.values())
 
+    def test_sampler_scanned_matches_sequential(self, rng):
+        from sttode_tpu.models import SamplerConfig, sampler_init
+        from sttode_tpu.train import stack_batches
+        cfg = tiny_cfg()
+        scfg = SamplerConfig(nk=4, nz=8, qnet_mlp=(16, 8))
+        net = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-3)
+        batches = [make_batch(rng) for _ in range(3)]
+        key = jax.random.PRNGKey(9)
+
+        sp_a = sampler_init(jax.random.PRNGKey(1), scfg,
+                            pred_model_dim=cfg.hidden_dim,
+                            past_feature_dim=2 * cfg.hidden_dim)
+        st_a = opt.init(sp_a)
+        step1 = make_sampler_train_step(cfg, scfg, opt, donate=False)
+        for b, k in zip(batches, jax.random.split(key, 3)):
+            sp_a, st_a, m_a = step1(sp_a, net, st_a, b, k)
+
+        sp_b = sampler_init(jax.random.PRNGKey(1), scfg,
+                            pred_model_dim=cfg.hidden_dim,
+                            past_feature_dim=2 * cfg.hidden_dim)
+        st_b = opt.init(sp_b)
+        stepS = make_sampler_train_step(cfg, scfg, opt, donate=False,
+                                        scan_steps=3)
+        sp_b, st_b, m_b = stepS(sp_b, net, st_b, stack_batches(batches), key)
+        np.testing.assert_allclose(float(m_a["total"]),
+                                   float(m_b["total"][-1]), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(sp_a),
+                        jax.tree_util.tree_leaves(sp_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)
+
     def test_train_epoch_driver(self, rng):
         cfg = tiny_cfg()
         params = sttode_init(jax.random.PRNGKey(0), cfg)
