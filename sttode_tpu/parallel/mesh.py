@@ -122,8 +122,12 @@ def param_sharding(params: Any, mesh: Mesh, *, tp: bool = False):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host Batch onto the mesh with M sharded over "data"."""
-    sh = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, *, stacked: bool = False):
+    """Place a host Batch onto the mesh with M sharded over "data".
+    ``stacked=True`` for scan-step batches ([S, M, ...] array fields — see
+    ``train.stack_batches``): the leading step axis stays replicated and the
+    row axis shards."""
+    sh = NamedSharding(mesh, P(None, "data")) if stacked \
+        else batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jax.numpy.asarray(x), sh), batch)

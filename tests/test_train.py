@@ -168,6 +168,33 @@ class TestMeshDP:
             lambda a, b: float(jnp.abs(a - b).max()), p1, pm)
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
 
+    def test_dp_scanned_matches_single_device(self, rng):
+        """8-way DP with scan_steps=2: stacked batches shard rows (not the
+        step axis) and the result matches the single-device scanned step."""
+        from sttode_tpu.train import stack_batches
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        stacked = stack_batches([make_batch(rng, B=2, N=4) for _ in range(2)])
+        key = jax.random.PRNGKey(1)
+
+        step1 = make_train_step(cfg, opt, donate=False, scan_steps=2)
+        p1, _, m1 = step1(params, opt_state, stacked, key)
+
+        mesh = make_mesh(dp=8, tp=1)
+        stepm = make_train_step(cfg, opt, mesh=mesh, params_like=params,
+                                donate=False, scan_steps=2)
+        pm_in = jax.device_put(params, param_sharding(params, mesh))
+        bm = shard_batch(stacked, mesh, stacked=True)
+        pm, _, mm = stepm(pm_in, opt_state, bm, key)
+
+        np.testing.assert_allclose(np.asarray(m1["total"]),
+                                   np.asarray(mm["total"]), rtol=1e-5)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), p1, pm)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
     def test_tp_sharding_rules_applied(self):
         cfg = tiny_cfg(ff_dim=64)
         params = sttode_init(jax.random.PRNGKey(0), cfg)
