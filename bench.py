@@ -29,11 +29,12 @@ REFERENCE_SCENES_PER_S = 22.0
 SCENES_PER_STEP = 32     # NBA-style batch: 32 scenes × 11 agents
 AGENTS = 11
 SCAN_STEPS = 8           # optimizer steps per device dispatch (lax.scan over
-                         # stacked batches): the device step is ~1.1 ms but
-                         # the tunneled chip adds ~3.6 ms dispatch latency,
+                         # stacked batches): the device step is ~0.66 ms but
+                         # a dispatch through the tunneled chip costs ~4.5 ms,
                          # so single-step dispatch under-reports the hardware
-                         # 4×. This is the shipped train-loop path
-                         # (train.make_train_step(scan_steps=...)).
+                         # ~5×. This is the shipped train-loop path
+                         # (train.make_train_step(scan_steps=...)); numbers
+                         # in DESIGN.md §8a.
 
 
 def main():
@@ -72,7 +73,7 @@ def main():
     # 8-step dispatches "completing" in 1.9 ms vs a 5.3 ms device time), so
     # every timing window must end with a real device->host value fetch.
     params, opt_state, metrics = step(params, opt_state, stacked, key)
-    _ = float(np.asarray(metrics["total"])[-1])
+    _ = float(np.asarray(metrics["total"]).ravel()[-1])
 
     # best-of-3 windows: tunneled-chip dispatch latency is noisy run-to-run;
     # windows are long (32 dispatches × 8 steps) to amortize the ~35 ms
@@ -84,7 +85,7 @@ def main():
         for i in range(n_iters):
             key, sub = jax.random.split(key)
             params, opt_state, metrics = step(params, opt_state, stacked, sub)
-        assert np.isfinite(float(np.asarray(metrics["total"])[-1]))
+        assert np.isfinite(float(np.asarray(metrics["total"]).ravel()[-1]))
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     steps_per_s = n_iters * SCAN_STEPS / best_dt

@@ -81,7 +81,7 @@ def bench_ode(lines):
     for method, steps in (("euler", 1), ("rk4", 8), ("dopri5", 1)):
         fn = jax.jit(lambda x, m=method, s=steps: ode_encoder(
             params, x, cfg, time=12.0, method=m, steps=s))
-        r = profiling.time_fn(fn, x, iters=20)
+        r = profiling.time_fn(fn, x, iters=2 if method == "dopri5" else 20)
         evals = {"euler": steps, "rk4": 4 * steps, "dopri5": "adaptive"}[method]
         lines.append(f"| ODE encoder {method} ({evals} RHS evals) | "
                      f"{r['seconds_per_call'] * 1e3:.2f} ms | "

@@ -68,11 +68,12 @@ def init_distributed() -> bool:
     return False
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
+def batch_sharding(mesh: Mesh, *, stacked: bool = False) -> NamedSharding:
     """Sharding for a ``Batch``: every tensor leads with the flattened
     scene·agent axis M, so one row-sharding serves as a prefix spec for the
-    whole pytree."""
-    return NamedSharding(mesh, P("data"))
+    whole pytree. ``stacked=True`` is the scan-step layout ([S, M, ...]):
+    the step axis stays replicated, the row axis shards."""
+    return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
 # TP rules: regex on the param path → PartitionSpec. Dense weights are stored
@@ -127,7 +128,6 @@ def shard_batch(batch, mesh: Mesh, *, stacked: bool = False):
     ``stacked=True`` for scan-step batches ([S, M, ...] array fields — see
     ``train.stack_batches``): the leading step axis stays replicated and the
     row axis shards."""
-    sh = NamedSharding(mesh, P(None, "data")) if stacked \
-        else batch_sharding(mesh)
+    sh = batch_sharding(mesh, stacked=stacked)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jax.numpy.asarray(x), sh), batch)

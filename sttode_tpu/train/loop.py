@@ -21,6 +21,19 @@ from sttode_tpu.models.sttode import Batch, STTODEConfig, sttode_forward
 from sttode_tpu.parallel.mesh import batch_sharding, param_sharding
 
 
+def _scan_over_batches(step_fn: Callable, carry, batches: Batch, key):
+    """Run ``step_fn(carry, batch, key) -> (carry, metrics)`` over every
+    leading-axis slice of a stacked batch in one ``lax.scan``; the per-step
+    keys are ``split(key, S)`` with S read from the input's leading axis."""
+    n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+    def body(c, xs):
+        b, k = xs
+        return step_fn(c, b, k)
+
+    return jax.lax.scan(body, carry, (batches, jax.random.split(key, n)))
+
+
 def stack_batches(batches: list[Batch]) -> Batch:
     """Stack same-shape batches along a new leading step axis for scanned
     multi-step dispatch (``make_train_step(scan_steps=...)``): every array
@@ -47,8 +60,9 @@ def make_train_step(cfg: STTODEConfig, optimizer: optax.GradientTransformation,
     field [S, ...] — see ``stack_batches``) and runs S optimizer steps in ONE
     device dispatch via ``lax.scan``; metrics come back stacked [S]. This
     amortizes host→device dispatch latency, which dominates this model's
-    small-step regime (measured on v5e: 4.7 ms/step dispatched singly vs
-    1.1 ms/step scanned — the device step is ~1.1 ms, the rest was dispatch).
+    small-step regime (measured on v5e: 4.4 ms/step dispatched singly vs
+    0.80 ms/step scanned at S=8 — the device step is ~0.66 ms, the rest was
+    dispatch; DESIGN.md §8a).
     The actual S is read from the input's leading axis, so one callable
     serves full chunks and the epoch tail via retrace."""
 
@@ -71,16 +85,12 @@ def make_train_step(cfg: STTODEConfig, optimizer: optax.GradientTransformation,
         step = one
     else:
         def step(params, opt_state, batches: Batch, key):
-            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
-
-            def body(carry, xs):
-                p, o = carry
-                b, k = xs
-                p, o, m = one(p, o, b, k)
+            def body(carry, b, k):
+                p, o, m = one(carry[0], carry[1], b, k)
                 return (p, o), m
 
-            (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state), (batches, jax.random.split(key, n)))
+            (params, opt_state), metrics = _scan_over_batches(
+                body, (params, opt_state), batches, key)
             return params, opt_state, metrics
 
     donate_argnums = (0, 1) if donate else ()
@@ -90,9 +100,7 @@ def make_train_step(cfg: STTODEConfig, optimizer: optax.GradientTransformation,
     assert params_like is not None, "mesh mode needs params_like as template"
     from jax.sharding import NamedSharding, PartitionSpec as P
     p_sh = param_sharding(params_like, mesh, tp=tp)
-    # stacked batches lead with the step axis: shard rows (axis 1), not steps
-    b_sh = NamedSharding(mesh, P(None, "data")) if scan_steps > 1 \
-        else batch_sharding(mesh)
+    b_sh = batch_sharding(mesh, stacked=scan_steps > 1)
     repl = NamedSharding(mesh, P())
     return jax.jit(
         step,
@@ -130,17 +138,12 @@ def make_sampler_train_step(cfg: STTODEConfig, scfg: SamplerConfig,
         step = one
     else:
         def step(sampler_params, net_params, opt_state, batches: Batch, key):
-            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
-
-            def body(carry, xs):
-                sp, o = carry
-                b, k = xs
-                sp, o, m = one(sp, net_params, o, b, k)
+            def body(carry, b, k):
+                sp, o, m = one(carry[0], net_params, carry[1], b, k)
                 return (sp, o), m
 
-            (sampler_params, opt_state), metrics = jax.lax.scan(
-                body, (sampler_params, opt_state),
-                (batches, jax.random.split(key, n)))
+            (sampler_params, opt_state), metrics = _scan_over_batches(
+                body, (sampler_params, opt_state), batches, key)
             return sampler_params, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 2) if donate else ())
@@ -155,10 +158,12 @@ def train_epoch(step_fn: Callable, params, opt_state,
     prefetch thread so host prep + H2D overlap device compute.
 
     ``scan_steps > 1`` requires a ``step_fn`` built with the same
-    ``scan_steps``: same-shape batches are grouped into stacked chunks and
-    each chunk runs as ONE device dispatch (dispatch-latency amortization);
-    the epoch tail (or a bucket-shape change) flushes a shorter chunk, which
-    the scanned step handles by retrace."""
+    ``scan_steps``: batches are grouped into stacked chunks PER bucket shape
+    (interleaved buckets each fill their own chunk, so alternating shapes
+    still amortize) and each full chunk runs as ONE device dispatch; epoch
+    tails flush shorter chunks, which the scanned step handles by retrace.
+    Steps may reorder relative to the stream by at most one chunk window per
+    bucket — irrelevant to SGD over an already-shuffled stream."""
     from sttode_tpu.data.prefetch import prefetch as _prefetch
 
     # metrics accumulate as device arrays — float() per step would force a
@@ -185,34 +190,31 @@ def train_epoch(step_fn: Callable, params, opt_state,
                                for k in sorted(sums))
                 log_fn(f"iter {i + 1}: {msg}")
     else:
-        chunk: list[Batch] = []
+        chunks: dict = {}       # bucket signature → pending same-shape batches
         logged_at = 0
 
-        def flush():
-            nonlocal params, opt_state, key, logged_at, chunk
+        def flush(sig):
+            nonlocal params, opt_state, key, logged_at
+            chunk = chunks.pop(sig, [])
             if not chunk:
                 return
             key, sub = jax.random.split(key)
             params, opt_state, metrics = step_fn(
                 params, opt_state, stack_batches(chunk), sub)
             accumulate(metrics, len(chunk), stacked=True)
-            chunk = []
             if log_every and count - logged_at >= log_every:
                 logged_at = count
                 msg = " ".join(f"{k}: {float(sums[k]) / count:.4f}"
                                for k in sorted(sums))
                 log_fn(f"iter {count}: {msg}")
 
-        shape_of = None
         for batch, _aux in stream:
             sig = (batch.batch_size, batch.agent_num,
                    batch.past.shape, batch.future.shape)
-            if chunk and sig != shape_of:
-                flush()   # bucket-shape change: scan only stacks like shapes
-            shape_of = sig
-            chunk.append(batch)
-            if len(chunk) == scan_steps:
-                flush()
-        flush()
+            chunks.setdefault(sig, []).append(batch)
+            if len(chunks[sig]) == scan_steps:
+                flush(sig)
+        for sig in list(chunks):
+            flush(sig)
     means = {k: float(v) / max(count, 1) for k, v in sums.items()}
     return params, opt_state, means

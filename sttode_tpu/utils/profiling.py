@@ -6,8 +6,9 @@ commented-out FLOPs experiments). TPU-native equivalents:
 
 - ``trace``            — context manager around ``jax.profiler`` emitting an
   xplane trace viewable in TensorBoard/XProf.
-- ``time_fn``          — compile-excluded steady-state timing with
-  ``block_until_ready`` (the reference's timer measured dispatch only).
+- ``time_fn``          — compile-excluded steady-state timing; syncs with a
+  device→host value fetch and reports a two-window slope (see ``_hard_sync``
+  for why ``block_until_ready`` cannot be trusted on tunneled backends).
 - ``param_table``      — per-leaf param counts/bytes (model_structure parity).
 - ``cost_analysis``    — XLA's own FLOPs/bytes estimate for a jitted fn, the
   working replacement for the reference's abandoned ptflops experiments; use
@@ -51,8 +52,8 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2,
     ``(T(2n) - T(n)) / n``: each window ends in a hard value-fetch sync whose
     constant latency (~35 ms through the tunnel) and any constant dispatch
     tail cancel in the difference, leaving pure per-call cost."""
-    out = None
-    for _ in range(warmup):
+    out = fn(*args, **kwargs)       # ensures compile regardless of warmup
+    for _ in range(max(warmup - 1, 0)):
         out = fn(*args, **kwargs)
     _hard_sync(out)
 
@@ -64,16 +65,14 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2,
         _hard_sync(o)
         return time.perf_counter() - t0
 
-    best = float("inf")
-    for _ in range(2):
-        t1 = window(iters)
-        t2 = window(2 * iters)
-        slope = (t2 - t1) / iters
-        if slope > 0:
-            best = min(best, slope)
-    if not np.isfinite(best):       # noise made both slopes non-positive:
-        best = window(2 * iters) / (2 * iters)   # fall back to a mean window
-    return {"seconds_per_call": best, "calls_per_s": 1.0 / best}
+    t1 = window(iters)
+    slope = (window(2 * iters) - t1) / iters
+    if slope <= 0:                  # noise ate the slope: one retry, then a
+        t1 = window(iters)          # mean window as the last resort
+        slope = (window(2 * iters) - t1) / iters
+        if slope <= 0:
+            slope = window(2 * iters) / (2 * iters)
+    return {"seconds_per_call": slope, "calls_per_s": 1.0 / slope}
 
 
 def param_count(params: Any) -> int:

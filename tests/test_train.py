@@ -129,6 +129,23 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-5)
 
+    def test_train_epoch_scanned_interleaved_buckets(self, rng):
+        """Alternating bucket shapes each fill their own chunk — every batch
+        is consumed exactly once and means stay finite."""
+        cfg = tiny_cfg()
+        opt = optax.adam(1e-3)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        state = opt.init(params)
+        step = make_train_step(cfg, opt, donate=False, scan_steps=2)
+        batches = []
+        for i in range(3):   # stream A B A B A B: each bucket chunks 2+1
+            batches.append((make_batch(rng, B=1, N=2), None))
+            batches.append((make_batch(rng, B=2, N=4), None))
+        params, state, means = train_epoch(step, params, state, batches,
+                                           jax.random.PRNGKey(1),
+                                           scan_steps=2, prefetch_depth=0)
+        assert all(np.isfinite(v) for v in means.values())
+
     def test_train_epoch_driver(self, rng):
         cfg = tiny_cfg()
         params = sttode_init(jax.random.PRNGKey(0), cfg)
