@@ -30,8 +30,12 @@ def _config_from_json(s: str):
     d = json.loads(s)
     kind = d.pop("type")
     cls = {"STTODEConfig": STTODEConfig, "SamplerConfig": SamplerConfig}[kind]
-    # json round-trips tuples as lists
-    d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+    # json round-trips tuples as lists; unknown fields (configs written by a
+    # newer version) are dropped, missing ones take the NamedTuple defaults —
+    # checkpoints stay loadable across config-surface evolution in both
+    # directions
+    d = {k: tuple(v) if isinstance(v, list) else v
+         for k, v in d.items() if k in cls._fields}
     return cls(**d)
 
 

@@ -298,6 +298,22 @@ class TestCheckpoint:
             lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), params, p2)
         assert all(jax.tree_util.tree_leaves(chex_equal))
 
+    def test_config_json_version_skew(self):
+        """Checkpoint configs stay loadable across config-surface evolution:
+        missing fields take NamedTuple defaults (old checkpoint, new code),
+        unknown fields are dropped (new checkpoint, old code)."""
+        from sttode_tpu.train.checkpoint import (_config_from_json,
+                                                 _config_to_json)
+        cfg = STTODEConfig(hidden_dim=16)
+        s = _config_to_json(cfg)
+        import json as _json
+        d = _json.loads(s)
+        d.pop("diverse_grad")              # field absent in an old checkpoint
+        d["future_field"] = "x"            # field from a newer version
+        cfg2 = _config_from_json(_json.dumps(d))
+        assert cfg2.hidden_dim == 16
+        assert cfg2.diverse_grad == STTODEConfig._field_defaults["diverse_grad"]
+
 
 class TestMeshHelpers:
     def test_hybrid_mesh_single_slice_fallback(self):
