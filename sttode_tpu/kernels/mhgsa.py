@@ -297,6 +297,259 @@ _fused_core.defvjp(lambda q, k, v, m, interp: _fused_fwd(q, k, v, m, interp),
                    _fused_bwd)
 
 
+# --------------------------------------------------------------------------- #
+# Flash-style S-tiled variant: online-softmax forward + LSE-replay backward.  #
+# Removes the whole-S-in-VMEM requirement of the kernel above (its practical  #
+# ceiling is S ≈ 2k): K/V stream through VMEM in tiles, so context length is  #
+# bounded by HBM, not VMEM. Maskless (the model's hot case — quirk Q2); the   #
+# padded-column iota predicate still applies. Same numerics contract:        #
+# HIGHEST-precision Gram, polynomial acos, clip-gated acos gradient.          #
+# --------------------------------------------------------------------------- #
+
+_FLASH_TILE_L = 256
+_FLASH_TILE_S = 512
+_LSE_LANES = 128          # per-row stats are carried in (tile, 128) blocks
+
+
+def _flash_tile_scores(q_block, k_block, ki: int, tile_s: int, s_real: int):
+    """Per-tile normalized Gram → clipped acos scores with padded key columns
+    disabled by the GLOBAL column index."""
+    qn, q_norm = _normalize_rows(q_block)
+    kn, _ = _normalize_rows(k_block)
+    g = _dot(qn, kn, ((1,), (1,)))
+    gc = jnp.clip(g, -1.0 + EPS, 1.0 - EPS)
+    s = -_acos(gc)
+    col = ki * tile_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < s_real, s, NEG_INF)
+    return qn, q_norm, kn, g, gc, s
+
+
+def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        _, _, _, _, _, s = _flash_tile_scores(q_ref[0], k_ref[0], ki, tile_s,
+                                              s_real)
+        m_prev = m_scr[...][:, :1]                        # [TL, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                            # [TL, TS]
+        l_new = l_scr[...][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + _dot(p, v_ref[0], ((1,), (0,)))
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+        @pl.when(ki == n_ktiles - 1)
+        def _():
+            l = jnp.maximum(l_scr[...][:, :1], 1e-30)
+            o_ref[0] = acc_scr[...] / l
+            lse = m_scr[...][:, :1] + jnp.log(l)
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+    return kernel
+
+
+def _make_flash_dq_kernel(s_real: int, n_ktiles: int, tile_s: int):
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               dqn_scr):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            dqn_scr[...] = jnp.zeros_like(dqn_scr)
+
+        qn, q_norm, kn, g, gc, s = _flash_tile_scores(
+            q_ref[0], k_ref[0], ki, tile_s, s_real)
+        p = jnp.exp(s - lse_ref[0][:, :1])                # [TL, TS]
+        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        ds = p * (dp - delta_ref[0][:, :1])
+        inside = jnp.abs(g) < (1.0 - EPS)
+        dg = jnp.where(inside, ds * jax.lax.rsqrt(
+            jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)
+        dqn_scr[...] += _dot(dg, kn, ((1,), (0,)))
+
+        @pl.when(ki == n_ktiles - 1)
+        def _():
+            dqn = dqn_scr[...]
+            dq_ref[0] = (dqn - qn * jnp.sum(dqn * qn, axis=-1,
+                                            keepdims=True)) / \
+                jnp.maximum(q_norm, NORM_FLOOR)
+    return kernel
+
+
+def _make_flash_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int):
+    """Grid (B, k_tiles, q_tiles) — q innermost so dk/dv accumulate per
+    k-tile in scratch; the k-side normalize VJP applies in-kernel once the
+    q sweep completes (the accumulated dk̂ is then total)."""
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dk_ref, dv_ref, dkn_scr, dv_scr):
+        ki = pl.program_id(1)
+        qi = pl.program_id(2)
+
+        @pl.when(qi == 0)
+        def _():
+            dkn_scr[...] = jnp.zeros_like(dkn_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
+
+        qn, _, kn, g, gc, s = _flash_tile_scores(
+            q_ref[0], k_ref[0], ki, tile_s, s_real)
+        p = jnp.exp(s - lse_ref[0][:, :1])
+        dv_scr[...] += _dot(p, do_ref[0], ((0,), (0,)))
+        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        ds = p * (dp - delta_ref[0][:, :1])
+        inside = jnp.abs(g) < (1.0 - EPS)
+        dg = jnp.where(inside, ds * jax.lax.rsqrt(
+            jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)
+        dkn_scr[...] += _dot(dg, qn, ((0,), (0,)))
+
+        @pl.when(qi == n_qtiles - 1)
+        def _():
+            k3 = k_ref[0]
+            k_norm = jnp.sqrt(jnp.sum(k3 * k3, axis=-1, keepdims=True))
+            kn_full = k3 / jnp.maximum(k_norm, NORM_FLOOR)
+            dkn = dkn_scr[...]
+            dk_ref[0] = (dkn - kn_full * jnp.sum(dkn * kn_full, axis=-1,
+                                                 keepdims=True)) / \
+                jnp.maximum(k_norm, NORM_FLOOR)
+            dv_ref[0] = dv_scr[...]
+    return kernel
+
+
+def _flash_pad(q, k, v):
+    B, L, Dh = q.shape
+    S = k.shape[1]
+    Lp = _round_up(L, _FLASH_TILE_L)
+    Sp = _round_up(S, _FLASH_TILE_S)
+    Dp = _round_up(Dh, _LANE)
+    qp = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(q)
+    kp = jnp.zeros((B, Sp, Dp), jnp.float32).at[:, :S, :Dh].set(k)
+    vp = jnp.zeros((B, Sp, Dp), jnp.float32).at[:, :S, :Dh].set(v)
+    return qp, kp, vp, (L, S, Dh, Lp, Sp, Dp)
+
+
+def _flash_specs(tile_l, tile_s, Dp):
+    """(q, k, v) block specs for a (B, q_tiles, k_tiles) grid."""
+    return [
+        pl.BlockSpec((1, tile_l, Dp), lambda b, qi, ki: (b, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_s, Dp), lambda b, qi, ki: (b, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_s, Dp), lambda b, qi, ki: (b, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_core(q, k, v, interpret):
+    out, _ = _flash_fwd(q, k, v, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, interpret):
+    qp, kp, vp, dims = _flash_pad(q, k, v)
+    B = qp.shape[0]
+    L, S, Dh, Lp, Sp, Dp = dims
+    tl, ts = _FLASH_TILE_L, _FLASH_TILE_S
+    n_k = Sp // ts
+    grid = (B, Lp // tl, n_k)
+    spec_row = pl.BlockSpec((1, tl, Dp), lambda b, qi, ki: (b, qi, 0),
+                            memory_space=pltpu.VMEM)
+    spec_lse = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, qi, ki: (b, qi, 0),
+                            memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        _make_flash_fwd_kernel(S, n_k, ts),
+        grid=grid,
+        in_specs=_flash_specs(tl, ts, Dp),
+        out_specs=[spec_row, spec_lse],
+        out_shape=[jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Lp, _LSE_LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tl, _LSE_LANES), jnp.float32),
+                        pltpu.VMEM((tl, _LSE_LANES), jnp.float32),
+                        pltpu.VMEM((tl, Dp), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :L, :Dh], (q, k, v, out[:, :L, :Dh], lse)
+
+
+def _flash_bwd(interpret, res, do):
+    q, k, v, out, lse = res
+    qp, kp, vp, dims = _flash_pad(q, k, v)
+    B = qp.shape[0]
+    L, S, Dh, Lp, Sp, Dp = dims
+    tl, ts = _FLASH_TILE_L, _FLASH_TILE_S
+    n_q, n_k = Lp // tl, Sp // ts
+    dop = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(do)
+    # delta_i = Σ_d do_id · out_id == rowsum(dP ⊙ P) (flash identity) — the
+    # softmax-VJP row correction, computed once outside the kernels
+    delta = jnp.sum(do.astype(jnp.float32) * out, axis=-1)          # [B, L]
+    deltap = jnp.zeros((B, Lp), jnp.float32).at[:, :L].set(delta)
+    deltap = jnp.broadcast_to(deltap[..., None], (B, Lp, _LSE_LANES))
+
+    spec_row = pl.BlockSpec((1, tl, Dp), lambda b, qi, ki: (b, qi, 0),
+                            memory_space=pltpu.VMEM)
+    spec_lse = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, qi, ki: (b, qi, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        _make_flash_dq_kernel(S, n_k, ts),
+        grid=(B, n_q, n_k),
+        in_specs=_flash_specs(tl, ts, Dp) + [spec_row, spec_lse, spec_lse],
+        out_specs=spec_row,
+        out_shape=jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tl, Dp), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, deltap)
+
+    # dk/dv sweep: grid reorders to (B, k_tiles, q_tiles)
+    spec_q2 = pl.BlockSpec((1, tl, Dp), lambda b, ki, qi: (b, qi, 0),
+                           memory_space=pltpu.VMEM)
+    spec_k2 = pl.BlockSpec((1, ts, Dp), lambda b, ki, qi: (b, ki, 0),
+                           memory_space=pltpu.VMEM)
+    spec_lse2 = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, ki, qi: (b, qi, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        _make_flash_dkv_kernel(S, n_q, ts),
+        grid=(B, n_k, n_q),
+        in_specs=[spec_q2, spec_k2, spec_k2, spec_q2, spec_lse2, spec_lse2],
+        out_specs=[spec_k2, spec_k2],
+        out_shape=[jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ts, Dp), jnp.float32),
+                        pltpu.VMEM((ts, Dp), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, deltap)
+    return (dq[:, :L, :Dh], dk[:, :S, :Dh], dv[:, :S, :Dh])
+
+
+_flash_core.defvjp(lambda q, k, v, interp: _flash_fwd(q, k, v, interp),
+                   _flash_bwd)
+
+
+def flash_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             *, interpret: bool | None = None) -> jnp.ndarray:
+    """S-tiled MHGSA: softmax_j(-acos(q̂_i·k̂_j))·V with online softmax —
+    context length bounded by HBM, not VMEM. Maskless (padding is handled by
+    the in-kernel column predicate); route masked attention to
+    ``fused_geodesic_attention`` or the jnp path.
+
+    q: [..., L, Dh], k/v: [..., S, Dh]; fp32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    *lead, L, Dh = q.shape
+    S = k.shape[-2]
+    B = 1
+    for d in lead:
+        B *= d
+    q3 = q.reshape(B, L, Dh).astype(jnp.float32)
+    k3 = k.reshape(B, S, Dh).astype(jnp.float32)
+    v3 = v.reshape(B, S, Dh).astype(jnp.float32)
+    return _flash_core(q3, k3, v3, interpret).reshape(*lead, L, Dh)
+
+
 def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                              *, mask: jnp.ndarray | None = None,
                              interpret: bool | None = None) -> jnp.ndarray:

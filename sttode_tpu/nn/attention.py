@@ -121,26 +121,33 @@ def geodesic_scores(q: jnp.ndarray, k: jnp.ndarray, *,
     return -oblique.dist(qn, kn)          # [..., L, S]
 
 
-def _should_fuse(q, k, dropout_active: bool, need_weights: bool,
-                 fused: str | bool) -> bool:
-    """Route to the Pallas kernel only where it measured faster than XLA
-    fusion: large score matrices (TPU, L·S ≥ 256², e.g. ring/long-context
-    configs). At model scale (L=S≤128, Dh=8) XLA wins ~3× because the tiny
-    head dim pads 16× on the MXU — measured on v5e."""
+def _kernel_route(q, k, mask, dropout_active: bool, need_weights: bool,
+                  fused: str | bool) -> str | None:
+    """Pick the Pallas execution path, or None for jnp/XLA fusion.
+
+    - "fused" (whole-S-in-VMEM kernel) where it measured faster than XLA
+      fusion: large score matrices, L·S ≥ 256², up to its VMEM ceiling
+      S ≈ 2k. At model scale (L=S≤128, Dh=8) XLA wins ~3× because the tiny
+      head dim pads 16× on the MXU — measured on v5e.
+    - "flash" (S-tiled online-softmax kernel) beyond that ceiling — context
+      bounded by HBM, not VMEM; maskless only (padding is in-kernel). For
+      contexts that outgrow one chip entirely, the ring/sequence-parallel
+      path is the tool.
+    """
     if fused is True:
-        return True
+        return "fused"
+    if fused == "flash":
+        return "flash"
     if fused != "auto" or dropout_active or need_weights:
-        return False
+        return None
     if jax.default_backend() != "tpu":
-        return False
+        return None
     L, S = q.shape[-2], k.shape[-2]
-    # upper bound: the kernels tile q-rows at 256 but keep full-S K/V and
-    # [256, S] score blocks in VMEM (~16 MB/core). ~4 score-sized
-    # intermediates in the backward put the practical ceiling near S ≈ 2k;
-    # beyond that the ring/sequence-parallel path is the right tool.
+    if L * S < 256 * 256:
+        return None
     if S > 2048:
-        return False
-    return L * S >= 256 * 256
+        return "flash" if mask is None else None
+    return "fused"
 
 
 def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
@@ -159,20 +166,25 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     Returns (out [..., L, Dh], weights [..., L, S] or None when the fused
     kernel path is taken).
 
-    ``fused``: True forces the Pallas kernel, False the jnp path, "auto"
-    routes by measured crossover (see `_should_fuse`). Both compat
-    orientations are served by the same kernel — the reference's transposed
+    ``fused``: True forces the whole-S Pallas kernel, "flash" the S-tiled
+    online-softmax kernel, False the jnp path, "auto" routes by measured
+    crossover and VMEM ceiling (see `_kernel_route`). Both compat
+    orientations are served by the same kernels — the reference's transposed
     square case (quirk Q3) is the kernel with q/k swapped.
     """
     dropout_active = (not deterministic) and dropout_rate > 0.0
-    if metric == "oblique" and \
-            _should_fuse(q, k, dropout_active, need_weights, fused):
-        from sttode_tpu.kernels.mhgsa import fused_geodesic_attention
+    route = _kernel_route(q, k, mask, dropout_active, need_weights, fused) \
+        if metric == "oblique" else None
+    if route is not None:
+        from sttode_tpu.kernels.mhgsa import (flash_geodesic_attention,
+                                              fused_geodesic_attention)
         square = q.shape[-2] == k.shape[-2]
-        if compat == "reference" and square:
-            out = fused_geodesic_attention(k, q, v, mask=mask)
+        qq, kk = (k, q) if (compat == "reference" and square) else (q, k)
+        if route == "flash":
+            assert mask is None, "flash kernel is maskless (see _kernel_route)"
+            out = flash_geodesic_attention(qq, kk, v)
         else:
-            out = fused_geodesic_attention(q, k, v, mask=mask)
+            out = fused_geodesic_attention(qq, kk, v, mask=mask)
         return out, None
 
     scores = geodesic_scores(q, k, compat=compat, metric=metric,

@@ -129,3 +129,61 @@ class TestMaskGradient:
         gr = jax.grad(loss_ref)(m0)
         assert float(jnp.abs(gr).max()) > 1e-3  # the oracle grad is nonzero
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5)
+
+
+class TestFlash:
+    """S-tiled online-softmax kernel vs the jnp oracle (interpret mode)."""
+
+    def test_forward_matches_jnp(self, rng):
+        from sttode_tpu.kernels import flash_geodesic_attention
+        q = jnp.asarray(rng.standard_normal((2, 2, 10, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 2, 14, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 2, 14, 8)), jnp.float32)
+        out = flash_geodesic_attention(q, k, v, interpret=True)
+        ref = ref_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_forward_multi_ktile_unaligned(self, rng):
+        # S=1100 spans 3 k-tiles of 512 with a ragged tail; L=300 spans 2
+        # q-tiles of 256 with padding; Dh=5 pads the lane dim
+        from sttode_tpu.kernels import flash_geodesic_attention
+        q = jnp.asarray(rng.standard_normal((1, 300, 5)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 1100, 5)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 1100, 5)), jnp.float32)
+        out = flash_geodesic_attention(q, k, v, interpret=True)
+        ref = ref_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_grads_match_jnp(self, rng):
+        from sttode_tpu.kernels import flash_geodesic_attention
+        q = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 600, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 600, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                flash_geodesic_attention(q, k, v, interpret=True) * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(ref_attention(q, k, v) * w)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, err_msg=f"d{name}")
+
+    def test_routing_beyond_vmem_cap(self, rng):
+        """fused='auto' with S > 2048 and no mask selects the flash path."""
+        from sttode_tpu.nn.attention import _kernel_route
+        q = jnp.zeros((1, 256, 8))
+        k = jnp.zeros((1, 4096, 8))
+        assert _kernel_route(q, k, None, False, False, "auto") in \
+            (None, "flash")  # None off-TPU; flash on TPU
+        if jax.default_backend() == "tpu":
+            assert _kernel_route(q, k, None, False, False, "auto") == "flash"
+        mask = jnp.zeros((1, 256, 4096))
+        assert _kernel_route(q, k, mask, False, False, "auto") != "flash"
