@@ -53,6 +53,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=("euler", "midpoint", "rk4", "dopri5"))
     p.add_argument("--ode_steps", type=int, default=1)
     p.add_argument("--ode_adjoint", action="store_true")
+    p.add_argument("--ode_rtol", type=float, default=1e-7,
+                   help="dopri5 relative tolerance (looser = fewer steps)")
+    p.add_argument("--ode_atol", type=float, default=1e-9)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--scan_steps", type=int, default=1,
                    help="optimizer steps fused into one device dispatch via "
@@ -78,7 +81,8 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         sample_k=args.sample_k, learn_prior=args.learn_prior,
         compat=args.compat, attn_axis=args.attn_axis,
         ode_method=args.ode_method, ode_steps=args.ode_steps,
-        ode_adjoint=args.ode_adjoint,
+        ode_adjoint=args.ode_adjoint, ode_rtol=args.ode_rtol,
+        ode_atol=args.ode_atol,
     )
 
 

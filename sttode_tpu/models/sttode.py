@@ -52,6 +52,11 @@ class STTODEConfig(NamedTuple):
     ode_steps: int = 1
     ode_adjoint: bool = False     # O(1)-memory continuous-adjoint gradients
                                   # through the ODE encoder
+    ode_rtol: float = 1e-7        # dopri5 adaptive tolerances (torchdiffeq
+    ode_atol: float = 1e-9        # defaults); looser = far fewer steps —
+                                  # measured on v5e: 830 ms/solve at defaults,
+                                  # 47 ms at 1e-5/1e-7 (solution Δ ~3e-3),
+                                  # 36 ms at 1e-3/1e-6
     past_length: int = 8
     future_length: int = 12
     num_decompose: int = 2
@@ -250,7 +255,8 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
 
     z = ode_encoder(p["ode_layers"], tokens, cfg.layer_cfg, time=cfg.ode_time,
                     method=cfg.ode_method, steps=cfg.ode_steps, mask=mask,
-                    adjoint=cfg.ode_adjoint, rng=k_ode,
+                    adjoint=cfg.ode_adjoint, rtol=cfg.ode_rtol,
+                    atol=cfg.ode_atol, rng=k_ode,
                     deterministic=not train)
     if cfg.attn_axis == "scene":
         z = z[:, :, 0]                                         # [B, N, D]

@@ -103,6 +103,22 @@ class TestForward:
         d2 = float(loss_diverse(pk.at[M:].add(50.0), tgt, valid))
         np.testing.assert_allclose(d1, d2, rtol=1e-6)
 
+    def test_dopri5_tolerance_knobs_plumb_through(self, rng):
+        """ode_rtol/ode_atol reach the adaptive solver: a loose-tolerance
+        forward runs and differs (slightly) from the tight one."""
+        cfg_t = tiny_cfg(ode_method="dopri5").validate()
+        cfg_l = cfg_t._replace(ode_rtol=1e-2, ode_atol=1e-4).validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg_t)
+        batch = make_batch(rng, B=1, N=2)
+        key = jax.random.PRNGKey(1)
+        out_t = sttode_forward(params, cfg_t, batch, key, train=False)
+        out_l = sttode_forward(params, cfg_l, batch, key, train=False)
+        assert np.isfinite(float(out_l.total_loss))
+        # loose tolerance changes the integration result measurably but not
+        # wildly
+        d = float(jnp.abs(out_t.pred_traj - out_l.pred_traj).max())
+        assert 0 < d < 1.0
+
     def test_inference_shape(self, rng):
         cfg = tiny_cfg()
         params = sttode_init(jax.random.PRNGKey(0), cfg)
