@@ -106,19 +106,39 @@ def _chained(attn_fn, loop: int = 30):
     return jax.jit(run), loop
 
 
-def _best_of(fn, q, k, v, loop: int, repeats: int = 4) -> float:
-    """Best single-dispatch wall time / loop, each dispatch closed by a real
-    value fetch (block_until_ready lies on this backend — see
-    profiling._hard_sync). Stable to ~2% across runs where slope estimates
-    swung by multiples under tunnel contention."""
-    fn(q, k, v)  # compile
+def _fetch_baseline(q, repeats: int = 4) -> float:
+    """Best-of constant per-dispatch overhead (dispatch RPC + device→host
+    value fetch, ~35 ms through the tunnel) measured on a trivial program —
+    subtracted from kernel windows so per-call figures are device time, not
+    tunnel latency."""
+    trivial = jax.jit(lambda q: q * 1.0)
+    o = trivial(q)
+    np.asarray(jax.device_get(o[0, 0, :1]))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        o = trivial(q)
+        np.asarray(jax.device_get(o[0, 0, :1]))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _best_of(fn, q, k, v, loop: int, baseline: float,
+             repeats: int = 4) -> float:
+    """Best single-dispatch wall time, minus the constant dispatch+fetch
+    baseline, divided by loop. Each window is closed by a real value fetch
+    (block_until_ready lies on this backend — see profiling._hard_sync).
+    Stable to ~2% across runs where slope estimates swung by multiples under
+    tunnel contention."""
+    o = fn(q, k, v)  # compile
+    np.asarray(jax.device_get(o[0, 0, :1]))   # sync so window 1 isn't queued
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         o = fn(q, k, v)
         np.asarray(jax.device_get(o[0, 0, :1]))
-        best = min(best, (time.perf_counter() - t0) / loop)
-    return best
+        best = min(best, time.perf_counter() - t0)
+    return max(best - baseline, 1e-9) / loop
 
 
 def bench_kernel(lines):
@@ -142,8 +162,9 @@ def bench_kernel(lines):
         fp, n = _chained(pallas_fn, loop)
         fx, _ = _chained(lambda q, k, v: geodesic_attention(
             q, k, v, compat="tpu", fused=False)[0], loop)
-        tp = _best_of(fp, q, k, v, n)
-        tx_s = _best_of(fx, q, k, v, n)
+        baseline = _fetch_baseline(q)
+        tp = _best_of(fp, q, k, v, n, baseline)
+        tx_s = _best_of(fx, q, k, v, n, baseline)
         flops = 2 * B * L * S * (2 * Dh)   # Gram + AV matmuls
         lines.append(
             f"| MHGSA B{B}·L{L}·S{S}·D{Dh} | {kind} "
@@ -169,7 +190,7 @@ def main():
     lines.append("|---|---|---|")
     bench_kernel(lines)
     lines.append("")
-    lines.append("Routing: `geodesic_attention(fused='auto')` uses XLA fusion below L·S = 256² where it wins decisively (tiny head dims pad 16× on the 128-lane MXU), the whole-S-in-VMEM fused kernel up to S ≈ 2k, and the S-tiled flash kernel (online softmax + LSE-replay backward) beyond — context bounded by HBM, not VMEM. Stable alternating A/B runs at long context: flash 7.2 ms vs XLA 8.6 ms forward at 4096²·64·B8, 13.9 vs 17.3 ms at 8192²·64·B4, ~1.4× fwd+bwd — and XLA materializes the 0.5-2 GB score tensor in HBM (OOMs first as context grows) while the flash kernel never does. Kernel rows above use best-of-N chained dispatches with value-fetch syncs; earlier slope-based µs figures swung by multiples under tunnel contention.")
+    lines.append("Routing: `geodesic_attention(fused='auto')` uses XLA fusion below L·S = 256² where it wins decisively (tiny head dims pad 16× on the 128-lane MXU), the whole-S-in-VMEM fused kernel up to S ≈ 2k where it measures ~1.4× XLA, and the S-tiled flash kernel (online softmax + LSE-replay backward) beyond — context bounded by HBM, not VMEM, ~1.5× XLA forward at 4096² and ~1.4× fwd+bwd, while XLA materializes the 0.5-2 GB score tensor in HBM (OOMs first as context grows) and the flash kernel never does. Methodology: kernel rows chain N dependent calls in one dispatch, take best-of-4 windows closed by a real value fetch, and subtract a measured dispatch+fetch baseline (~35 ms through this tunnel) — block_until_ready is unreliable on this backend and slope estimates swung by multiples under contention.")
     report = "\n".join(lines) + "\n"
     with open("BENCHMARKS.md", "w") as f:
         f.write(report)

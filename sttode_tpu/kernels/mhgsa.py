@@ -79,14 +79,23 @@ def _dot(a, b, dims):
                                precision=_PRECISION)
 
 
-def _scores(qn, kn, s_real: int):
+def _scores(qn, kn, s_real: int, col_offset: int = 0):
+    """Normalized-input Gram → clipped acos scores; padded key columns are
+    disabled by the GLOBAL column index (``col_offset`` positions the block
+    inside the full S axis for S-tiled callers) without a materialized mask."""
     g = _dot(qn, kn, ((1,), (1,)))
     gc = jnp.clip(g, -1.0 + EPS, 1.0 - EPS)
     s = -_acos(gc)
-    # disable padded key columns without a materialized mask
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    col = col_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < s_real, s, NEG_INF)
     return g, gc, s
+
+
+def _normalize_rows_vjp(dxn, xn, norm):
+    """VJP of row-normalization x ↦ x/max(‖x‖, floor) given the cotangent on
+    the normalized rows, the normalized rows, and the row norms."""
+    return (dxn - xn * jnp.sum(dxn * xn, axis=-1, keepdims=True)) / \
+        jnp.maximum(norm, NORM_FLOOR)
 
 
 def _make_fwd_kernel(s_real: int, has_mask: bool):
@@ -136,9 +145,7 @@ def _make_bwd_kernel(s_real: int, has_mask: bool):
         inside = jnp.abs(g) < (1.0 - EPS)
         dg = jnp.where(inside, ds * jax.lax.rsqrt(
             jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)         # [TL, S]
-        dqn = _dot(dg, kn, ((1,), (0,)))
-        dq_ref[0] = (dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) / \
-            jnp.maximum(q_norm, NORM_FLOOR)
+        dq_ref[0] = _normalize_rows_vjp(_dot(dg, kn, ((1,), (0,))), qn, q_norm)
 
         dv_part = _dot(p, do, ((0,), (0,)))                  # [S, Dh]
         dkn_part = _dot(dg, qn, ((0,), (0,)))                # [S, Dh]
@@ -155,15 +162,15 @@ def _make_bwd_kernel(s_real: int, has_mask: bool):
     return kernel
 
 
-def _pad_inputs(q, k, v, mask):
-    """Pad (L, S, Dh) to hardware tiles. Padded key columns are ALWAYS
-    disabled by the in-kernel iota predicate (_scores); the padded region of an
-    explicit mask is zero-filled and contributes nothing — do not remove the
-    iota predicate."""
+def _pad_inputs(q, k, v, mask, l_mult: int = _SUBLANE, s_mult: int = _LANE):
+    """Pad (L, S, Dh) to hardware tiles (or the caller's tile multiples).
+    Padded key columns are ALWAYS disabled by the in-kernel iota predicate
+    (_scores); the padded region of an explicit mask is zero-filled and
+    contributes nothing — do not remove the iota predicate."""
     B, L, Dh = q.shape
     S = k.shape[1]
-    Lp = _round_up(L, _SUBLANE)
-    Sp = _round_up(S, _LANE)
+    Lp = _round_up(L, l_mult)
+    Sp = _round_up(S, s_mult)
     Dp = _round_up(Dh, _LANE)
 
     qp = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(q)
@@ -284,11 +291,8 @@ def _fused_bwd(interpret, res, do):
     # k-side row-normalize VJP outside the kernel: it needs the full dk-hat
     # sum over all q-tiles, which only exists after the grid completes.
     dkn = dkn[:, :S, :Dh]
-    k3 = k.astype(jnp.float32)
-    k_norm = jnp.sqrt(jnp.sum(k3 * k3, axis=-1, keepdims=True))
-    kn = k3 / jnp.maximum(k_norm, NORM_FLOOR)
-    dk = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) / \
-        jnp.maximum(k_norm, NORM_FLOOR)
+    kn, k_norm = _normalize_rows(k.astype(jnp.float32))
+    dk = _normalize_rows_vjp(dkn, kn, k_norm)
     d_mask = None if mask is None else d_mask_full[:, :L, :S]
     return (dq[:, :L, :Dh], dk, dv[:, :S, :Dh], d_mask)
 
@@ -312,15 +316,11 @@ _LSE_LANES = 128          # per-row stats are carried in (tile, 128) blocks
 
 
 def _flash_tile_scores(q_block, k_block, ki: int, tile_s: int, s_real: int):
-    """Per-tile normalized Gram → clipped acos scores with padded key columns
-    disabled by the GLOBAL column index."""
+    """Per-tile normalize + ``_scores`` with the block's global column
+    offset."""
     qn, q_norm = _normalize_rows(q_block)
     kn, _ = _normalize_rows(k_block)
-    g = _dot(qn, kn, ((1,), (1,)))
-    gc = jnp.clip(g, -1.0 + EPS, 1.0 - EPS)
-    s = -_acos(gc)
-    col = ki * tile_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < s_real, s, NEG_INF)
+    g, gc, s = _scores(qn, kn, s_real, col_offset=ki * tile_s)
     return qn, q_norm, kn, g, gc, s
 
 
@@ -375,10 +375,7 @@ def _make_flash_dq_kernel(s_real: int, n_ktiles: int, tile_s: int):
 
         @pl.when(ki == n_ktiles - 1)
         def _():
-            dqn = dqn_scr[...]
-            dq_ref[0] = (dqn - qn * jnp.sum(dqn * qn, axis=-1,
-                                            keepdims=True)) / \
-                jnp.maximum(q_norm, NORM_FLOOR)
+            dq_ref[0] = _normalize_rows_vjp(dqn_scr[...], qn, q_norm)
     return kernel
 
 
@@ -409,27 +406,17 @@ def _make_flash_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int):
 
         @pl.when(qi == n_qtiles - 1)
         def _():
-            k3 = k_ref[0]
-            k_norm = jnp.sqrt(jnp.sum(k3 * k3, axis=-1, keepdims=True))
-            kn_full = k3 / jnp.maximum(k_norm, NORM_FLOOR)
-            dkn = dkn_scr[...]
-            dk_ref[0] = (dkn - kn_full * jnp.sum(dkn * kn_full, axis=-1,
-                                                 keepdims=True)) / \
-                jnp.maximum(k_norm, NORM_FLOOR)
+            kn_full, k_norm = _normalize_rows(k_ref[0])
+            dk_ref[0] = _normalize_rows_vjp(dkn_scr[...], kn_full, k_norm)
             dv_ref[0] = dv_scr[...]
     return kernel
 
 
 def _flash_pad(q, k, v):
-    B, L, Dh = q.shape
-    S = k.shape[1]
-    Lp = _round_up(L, _FLASH_TILE_L)
-    Sp = _round_up(S, _FLASH_TILE_S)
-    Dp = _round_up(Dh, _LANE)
-    qp = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(q)
-    kp = jnp.zeros((B, Sp, Dp), jnp.float32).at[:, :S, :Dh].set(k)
-    vp = jnp.zeros((B, Sp, Dp), jnp.float32).at[:, :S, :Dh].set(v)
-    return qp, kp, vp, (L, S, Dh, Lp, Sp, Dp)
+    qp, kp, vp, _, dims = _pad_inputs(q, k, v, None,
+                                      l_mult=_FLASH_TILE_L,
+                                      s_mult=_FLASH_TILE_S)
+    return qp, kp, vp, dims
 
 
 def _flash_specs(tile_l, tile_s, Dp):

@@ -181,7 +181,13 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         square = q.shape[-2] == k.shape[-2]
         qq, kk = (k, q) if (compat == "reference" and square) else (q, k)
         if route == "flash":
-            assert mask is None, "flash kernel is maskless (see _kernel_route)"
+            if mask is not None:
+                # not an assert: under python -O an assert would vanish and
+                # the mask would be silently dropped
+                raise ValueError(
+                    "flash kernel is maskless; use fused=True (S ≤ ~2k), "
+                    "fused=False, or fused='auto' (which never routes masked "
+                    "attention to flash)")
             out = flash_geodesic_attention(qq, kk, v)
         else:
             out = fused_geodesic_attention(qq, kk, v, mask=mask)
