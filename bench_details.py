@@ -41,6 +41,31 @@ def make_batch(cfg, B, N, seed=0):
                  valid=jnp.ones((M,), jnp.float32), batch_size=B, agent_num=N)
 
 
+def _timed(make_thunk, loop: int, repeats: int = 4) -> float:
+    """Per-iteration device time of a chained-loop program.
+
+    ``make_thunk(n)`` must return a zero-arg callable running n chained
+    iterations in ONE jit. Times best-of-``repeats`` windows at n=loop and
+    n=2·loop — the difference cancels the tunnel's dispatch+fetch constant
+    (~35 ms, and it DRIFTS by several ms, so subtracting a separately
+    measured baseline over-corrects; two same-moment window sizes don't).
+    Each window closes with a real value fetch: block_until_ready is
+    unreliable on this backend (see profiling._hard_sync)."""
+    def best(thunk):
+        o = thunk()
+        np.asarray(jax.device_get(jnp.ravel(o)[:1]))     # compile + sync
+        b = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            o = thunk()
+            np.asarray(jax.device_get(jnp.ravel(o)[:1]))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t1, t2 = best(make_thunk(loop)), best(make_thunk(2 * loop))
+    return max((t2 - t1) / loop, 1e-9)
+
+
 def bench_train_and_infer(lines):
     cfg = STTODEConfig(past_length=5, future_length=10)
     B, N = 32, 11
@@ -66,9 +91,18 @@ def bench_train_and_infer(lines):
     lines.append(f"| train step, scanned ×{S} per dispatch (same batch shape) "
                  f"| {dt * 1e3:.2f} ms | {B / dt:,.0f} scenes/s |")
 
-    infer = jax.jit(lambda p, k: sttode_inference(p, cfg, batch, k))
-    r = profiling.time_fn(infer, params, jax.random.PRNGKey(2), iters=30)
-    dt = r["seconds_per_call"]
+    # inference device time: key-chained calls in one dispatch, two-window
+    # difference (a lone sub-ms call is unmeasurable through the tunnel)
+    def make_infer(n):
+        @jax.jit
+        def infer_loop(p, key):
+            def body(k, _):
+                k, sub = jax.random.split(k)
+                return k, jnp.sum(sttode_inference(p, cfg, batch, sub))
+            return jax.lax.scan(body, key, None, length=n)[1]
+        return lambda: infer_loop(params, jax.random.PRNGKey(2))
+
+    dt = _timed(make_infer, 100)
     lines.append(f"| inference best-of-20 (same batch) | {dt * 1e3:.2f} ms | "
                  f"{B / dt:,.0f} scenes/s |")
 
@@ -79,17 +113,29 @@ def bench_ode(lines):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (32, 11, 1, 64)), jnp.float32)
     for method, steps in (("euler", 1), ("rk4", 8), ("dopri5", 1)):
-        loop = 1 if method == "dopri5" else 20   # sub-ms solves: chain in-jit
+        if method == "dopri5":
+            # do NOT chain adaptive solves: the second solve integrates the
+            # first's (smoother) output and takes far fewer steps, halving
+            # the apparent cost. One ~800 ms solve dwarfs tunnel noise, so
+            # plain repetition windows are fine here.
+            fn = jax.jit(lambda x: ode_encoder(params, x, cfg, time=12.0,
+                                               method="dopri5", steps=1))
+            per = profiling.time_fn(fn, x, iters=2)["seconds_per_call"]
+        else:
+            # chain enough in-jit iterations that the window DIFFERENCE
+            # rises above tunnel noise (euler is ~tens of µs/solve)
+            loop = {"euler": 500, "rk4": 40}[method]
 
-        def run(x, m=method, s=steps, n=loop):
-            def body(c, _):
-                return ode_encoder(params, c, cfg, time=12.0, method=m,
-                                   steps=s), None
-            return jax.lax.scan(body, x, None, length=n)[0]
+            def make_ode(n, m=method, s=steps):
+                @jax.jit
+                def run(x):
+                    def body(c, _):
+                        return ode_encoder(params, c, cfg, time=12.0,
+                                           method=m, steps=s), None
+                    return jax.lax.scan(body, x, None, length=n)[0]
+                return lambda: run(x)
 
-        r = profiling.time_fn(jax.jit(run), x,
-                              iters=2 if method == "dopri5" else 10)
-        per = r["seconds_per_call"] / loop
+            per = _timed(make_ode, loop)
         evals = {"euler": steps, "rk4": 4 * steps, "dopri5": "adaptive"}[method]
         lines.append(f"| ODE encoder {method} ({evals} RHS evals) | "
                      f"{per * 1e3:.2f} ms | {1 / per:,.0f} solves/s |")
@@ -104,41 +150,6 @@ def _chained(attn_fn, loop: int = 30):
             return attn_fn(c, k, v), None
         return jax.lax.scan(body, q, None, length=loop)[0]
     return jax.jit(run), loop
-
-
-def _fetch_baseline(q, repeats: int = 4) -> float:
-    """Best-of constant per-dispatch overhead (dispatch RPC + device→host
-    value fetch, ~35 ms through the tunnel) measured on a trivial program —
-    subtracted from kernel windows so per-call figures are device time, not
-    tunnel latency."""
-    trivial = jax.jit(lambda q: q * 1.0)
-    o = trivial(q)
-    np.asarray(jax.device_get(o[0, 0, :1]))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        o = trivial(q)
-        np.asarray(jax.device_get(o[0, 0, :1]))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _best_of(fn, q, k, v, loop: int, baseline: float,
-             repeats: int = 4) -> float:
-    """Best single-dispatch wall time, minus the constant dispatch+fetch
-    baseline, divided by loop. Each window is closed by a real value fetch
-    (block_until_ready lies on this backend — see profiling._hard_sync).
-    Stable to ~2% across runs where slope estimates swung by multiples under
-    tunnel contention."""
-    o = fn(q, k, v)  # compile
-    np.asarray(jax.device_get(o[0, 0, :1]))   # sync so window 1 isn't queued
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        o = fn(q, k, v)
-        np.asarray(jax.device_get(o[0, 0, :1]))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - baseline, 1e-9) / loop
 
 
 def bench_kernel(lines):
@@ -159,12 +170,16 @@ def bench_kernel(lines):
             (lambda q, k, v: fused_geodesic_attention(q, k, v,
                                                       interpret=False))
         loop = 8 if kind == "flash" else 30
-        fp, n = _chained(pallas_fn, loop)
-        fx, _ = _chained(lambda q, k, v: geodesic_attention(
-            q, k, v, compat="tpu", fused=False)[0], loop)
-        baseline = _fetch_baseline(q)
-        tp = _best_of(fp, q, k, v, n, baseline)
-        tx_s = _best_of(fx, q, k, v, n, baseline)
+
+        def make_attn(fn):
+            def make(n):
+                f, _ = _chained(fn, n)
+                return lambda: f(q, k, v)
+            return make
+
+        tp = _timed(make_attn(pallas_fn), loop)
+        tx_s = _timed(make_attn(lambda q, k, v: geodesic_attention(
+            q, k, v, compat="tpu", fused=False)[0]), loop)
         flops = 2 * B * L * S * (2 * Dh)   # Gram + AV matmuls
         lines.append(
             f"| MHGSA B{B}·L{L}·S{S}·D{Dh} | {kind} "
@@ -190,7 +205,7 @@ def main():
     lines.append("|---|---|---|")
     bench_kernel(lines)
     lines.append("")
-    lines.append("Routing: `geodesic_attention(fused='auto')` uses XLA fusion below L·S = 256² where it wins decisively (tiny head dims pad 16× on the 128-lane MXU), the whole-S-in-VMEM fused kernel up to S ≈ 2k where it measures ~1.4× XLA, and the S-tiled flash kernel (online softmax + LSE-replay backward) beyond — context bounded by HBM, not VMEM, ~1.5× XLA forward at 4096² and ~1.4× fwd+bwd, while XLA materializes the 0.5-2 GB score tensor in HBM (OOMs first as context grows) and the flash kernel never does. Methodology: kernel rows chain N dependent calls in one dispatch, take best-of-4 windows closed by a real value fetch, and subtract a measured dispatch+fetch baseline (~35 ms through this tunnel) — block_until_ready is unreliable on this backend and slope estimates swung by multiples under contention.")
+    lines.append("Routing: `geodesic_attention(fused='auto')` uses XLA fusion below L·S = 256² where it wins decisively (tiny head dims pad 16× on the 128-lane MXU), the whole-S-in-VMEM fused kernel up to S ≈ 2k where it stably measures ~1.4× XLA (365-380 µs vs ~515 at 512²-1024² across repeated runs), and the S-tiled flash kernel (online softmax + LSE-replay backward) beyond. The flash kernel's deterministic win is structural: context bounded by HBM, not VMEM — XLA fusion must materialize the [L,S] score tensor (0.5-2 GB at 4-8k context) in HBM for forward AND keep it as a backward residual, the flash kernel never does; its wall-clock at 4096² ranges parity to ~1.7× XLA across runs (the controlled alternating A/B measured 7.2 vs 8.6 ms fwd, ~1.4× fwd+bwd) under this shared chip's contention. Methodology: every row chains N dependent calls in one dispatch and reports the best-of-window DIFFERENCE between N and 2N (cancels the ~35 ms dispatch+fetch tunnel constant, which drifts too much to subtract from a separate baseline); block_until_ready is unreliable on this backend.")
     report = "\n".join(lines) + "\n"
     with open("BENCHMARKS.md", "w") as f:
         f.write(report)
