@@ -66,6 +66,11 @@ class STTODEConfig(NamedTuple):
     learn_prior: bool = False
     compat: str = "reference"     # score orientation + mask handling (Q2/Q3)
     attn_axis: str = "scene"      # "scene" (reference, Q4) | "agent"
+    attn_impl: str = "auto"       # attention kernel route: "auto" | "dense" |
+                                  # "fused" | "flash" (Pallas) | "ring"
+                                  # (sequence-parallel shard_map over the
+                                  # mesh's "data" axis; pass mesh= through
+                                  # sttode_forward / make_train_step)
     pe_dropout: float = 0.1
     dropout: float = 0.0
     remat: bool = False           # jax.checkpoint the encoder trunks: trade
@@ -88,7 +93,7 @@ class STTODEConfig(NamedTuple):
     def layer_cfg(self) -> LayerConfig:
         return LayerConfig(d_model=self.hidden_dim, num_heads=self.num_heads,
                            ff_dim=self.ff_dim, dropout=self.dropout,
-                           compat=self.compat)
+                           compat=self.compat, attn_impl=self.attn_impl)
 
     def validate(self) -> "STTODEConfig":
         """Fail fast on inconsistent hyperparameters."""
@@ -100,6 +105,8 @@ class STTODEConfig(NamedTuple):
             "attn_axis='agent' requires compat='tpu' (see _encode_trunk)"
         assert self.ode_method in ("euler", "midpoint", "rk4", "dopri5"), \
             self.ode_method
+        assert self.attn_impl in ("auto", "dense", "fused", "flash", "ring"), \
+            self.attn_impl
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad
         return self
@@ -225,7 +232,8 @@ def _agent_attn_mask(valid: jnp.ndarray, B: int, N: int) -> jnp.ndarray:
 
 
 def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
-                  B: int, N: int, valid: jnp.ndarray, *, rng, train: bool):
+                  B: int, N: int, valid: jnp.ndarray, *, rng, train: bool,
+                  mesh=None):
     """Shared trunk → [M, 2D] concat(skip, interaction) feature
     (reference PastEncoder.forward, model/STTODE.py:214-236)."""
     D = cfg.hidden_dim
@@ -246,18 +254,26 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
             "attention masks (quirk Q2) and uses the transposed score "
             "orientation (Q3), under which the agent validity mask is "
             "ill-defined — padded agents would silently leak into attention")
+    kv_valid = None
     if cfg.attn_axis == "scene":
         tokens = x[:, :, None, :]                              # [L=B, N, 1, D]
         mask = None
     else:
         tokens = jnp.transpose(x, (1, 0, 2))[:, :, None, :]    # [L=N, B, 1, D]
-        mask = _agent_attn_mask(valid, B, N)                   # [B, N, N]
+        if cfg.attn_impl == "ring":
+            # the ring path consumes per-key validity directly (its only mask
+            # form); the agent-axis additive mask is exactly that, so no
+            # expressiveness is lost
+            mask = None
+            kv_valid = valid.reshape(B, N)                     # [B, N]
+        else:
+            mask = _agent_attn_mask(valid, B, N)               # [B, N, N]
 
     z = ode_encoder(p["ode_layers"], tokens, cfg.layer_cfg, time=cfg.ode_time,
                     method=cfg.ode_method, steps=cfg.ode_steps, mask=mask,
                     adjoint=cfg.ode_adjoint, rtol=cfg.ode_rtol,
                     atol=cfg.ode_atol, rng=k_ode,
-                    deterministic=not train)
+                    deterministic=not train, mesh=mesh, kv_valid=kv_valid)
     if cfg.attn_axis == "scene":
         z = z[:, :, 0]                                         # [B, N, D]
     else:
@@ -268,7 +284,7 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
 
 
 def encode_past(params: dict, cfg: STTODEConfig, batch: Batch, *, rng,
-                train: bool) -> jnp.ndarray:
+                train: bool, mesh=None) -> jnp.ndarray:
     """past_feature [M, 2D] (reference encode_history, model/STTODE.py:488-496).
 
     With ``cfg.remat`` the trunk is wrapped in ``jax.checkpoint`` so the
@@ -276,7 +292,8 @@ def encode_past(params: dict, cfg: STTODEConfig, batch: Batch, *, rng,
     memory for FLOPs at large batch/bucket sizes."""
     def trunk(p, inputs, valid):
         return _encode_trunk(p, cfg, inputs, batch.batch_size,
-                             batch.agent_num, valid, rng=rng, train=train)
+                             batch.agent_num, valid, rng=rng, train=train,
+                             mesh=mesh)
 
     if cfg.remat:
         trunk = jax.checkpoint(trunk)
@@ -284,12 +301,14 @@ def encode_past(params: dict, cfg: STTODEConfig, batch: Batch, *, rng,
 
 
 def encode_future(params: dict, cfg: STTODEConfig, batch: Batch,
-                  past_feature: jnp.ndarray, *, rng, train: bool) -> DiagNormal:
+                  past_feature: jnp.ndarray, *, rng, train: bool,
+                  mesh=None) -> DiagNormal:
     """Posterior q(z|x,y) params (reference FutureEncoder.forward,
     model/STTODE.py:276-301)."""
     fut_feat = _encode_trunk(params["future_encoder"], cfg,
                              batch.inputs_for_posterior, batch.batch_size,
-                             batch.agent_num, batch.valid, rng=rng, train=train)
+                             batch.agent_num, batch.valid, rng=rng, train=train,
+                             mesh=mesh)
     h = jnp.concatenate([past_feature, fut_feat], axis=-1)
     h = core.mlp(params["out_mlp"], h, activation="relu", activate_final=True)
     qz_params = core.dense(params["qz_layer"], h)
@@ -415,18 +434,22 @@ class ForwardOutput(NamedTuple):
 
 
 def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
-                   train: bool = True) -> ForwardOutput:
+                   train: bool = True, mesh=None) -> ForwardOutput:
     """Full CVAE training step forward (reference STTODENet.forward,
-    model/STTODE.py:553-568): posterior decode + KL + best-of-K diverse loss."""
+    model/STTODE.py:553-568): posterior decode + KL + best-of-K diverse loss.
+
+    ``mesh`` is only consumed by ``attn_impl="ring"`` (sequence-parallel
+    attention); every other route ignores it."""
     k_enc, k_fenc, k_q, k_p = jax.random.split(rng, 4)
     B, N = batch.batch_size, batch.agent_num
     M = B * N
     K = cfg.sample_k
     valid = batch.valid
 
-    past_feature = encode_past(params, cfg, batch, rng=k_enc, train=train)
+    past_feature = encode_past(params, cfg, batch, rng=k_enc, train=train,
+                               mesh=mesh)
     qz = encode_future(params, cfg, batch, past_feature, rng=k_fenc,
-                       train=train)
+                       train=train, mesh=mesh)
     pz = prior(params, cfg, past_feature)
     qz_sample = qz.rsample(k_q)
 
@@ -482,7 +505,7 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
 
 
 def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
-                     sample_k: int | None = None) -> jnp.ndarray:
+                     sample_k: int | None = None, mesh=None) -> jnp.ndarray:
     """Best-of-K prior decode (reference STTODENet.inference,
     model/STTODE.py:574-623). Returns [K, M, T_f, 2] in scene-normalized
     coordinates; the caller re-adds scene_orig (data layer's job)."""
@@ -490,7 +513,8 @@ def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     k_enc, k_p = jax.random.split(rng)
     M = batch.batch_size * batch.agent_num
 
-    past_feature = encode_past(params, cfg, batch, rng=k_enc, train=False)
+    past_feature = encode_past(params, cfg, batch, rng=k_enc, train=False,
+                               mesh=mesh)
     past_feature_k = jnp.repeat(past_feature, K, axis=0)
     pz = prior(params, cfg, past_feature_k)
     z = pz.rsample(k_p)

@@ -159,7 +159,10 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                        fused: str | bool = "auto",
                        need_weights: bool = True,
                        metric: str = "oblique",
-                       curvature: float = 1.0):
+                       curvature: float = 1.0,
+                       mesh=None,
+                       ring_axis: str = "data",
+                       kv_valid: jnp.ndarray | None = None):
     """Core attention: geodesic scores → (+mask) → softmax → dropout → @v.
 
     q [..., L, Dh], k/v [..., S, Dh], mask additive [..., L, S] or broadcastable.
@@ -168,11 +171,45 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     ``fused``: True forces the whole-S Pallas kernel, "flash" the S-tiled
     online-softmax kernel, False the jnp path, "auto" routes by measured
-    crossover and VMEM ceiling (see `_kernel_route`). Both compat
-    orientations are served by the same kernels — the reference's transposed
-    square case (quirk Q3) is the kernel with q/k swapped.
+    crossover and VMEM ceiling (see `_kernel_route`), "ring" the
+    sequence-parallel shard_map path (requires ``mesh``; the token axes shard
+    over ``mesh[ring_axis]`` and K/V shards rotate via ppermute with
+    online-softmax accumulation — SURVEY.md §2.6 SP/CP). Both compat
+    orientations are served by all kernels — the reference's transposed square
+    case (quirk Q3) is the kernel with q/k swapped.
+
+    ``kv_valid``: per-key validity [..., S] (1 = real token), the mask form
+    the ring path supports (padding, not arbitrary additive biases).
     """
     dropout_active = (not deterministic) and dropout_rate > 0.0
+    if fused == "ring":
+        if mesh is None:
+            raise ValueError("attn_impl='ring' needs a mesh — pass it through "
+                             "sttode_forward(..., mesh=) / make_train_step")
+        if mask is not None:
+            raise ValueError("ring path supports key-validity masks only; "
+                             "pass kv_valid instead of an additive mask")
+        from sttode_tpu.parallel.ring_attention import ring_geodesic_attention
+        *lead, L, Dh = q.shape
+        S = k.shape[-2]
+        square = L == S
+        qq, kk = (k, q) if (compat == "reference" and square) else (q, k)
+        B = 1
+        for d in lead:
+            B *= d
+        val = None
+        if kv_valid is not None:
+            kvv = kv_valid
+            while kvv.ndim < len(lead) + 1:   # insert axes before S (e.g.
+                kvv = kvv[..., None, :]       # the folded head axis)
+            val = jnp.broadcast_to(kvv, (*lead, S)).reshape(B, S)
+        out = ring_geodesic_attention(
+            qq.reshape(B, L, Dh), kk.reshape(B, S, Dh), v.reshape(B, S, Dh),
+            mesh, axis=ring_axis, kv_valid=val)
+        return out.reshape(*lead, L, Dh), None
+    if kv_valid is not None and mask is None:
+        neg = jnp.asarray(jnp.finfo(q.dtype).min, q.dtype)
+        mask = jnp.where(kv_valid[..., None, :] > 0, 0.0, neg)
     route = _kernel_route(q, k, mask, dropout_active, need_weights, fused) \
         if metric == "oblique" else None
     if route is not None:
@@ -213,7 +250,11 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
           compat: str = "reference",
           need_weights: bool = False,
           bias_kv: tuple | None = None,
-          add_zero_attn: bool = False):
+          add_zero_attn: bool = False,
+          fused: str | bool = "auto",
+          mesh=None,
+          ring_axis: str = "data",
+          kv_valid: jnp.ndarray | None = None):
     """Full multi-head geodesic attention (reference hyp_mhsa semantics).
 
     query [..., L, E]; key/value [..., S, E]. Leading dims are batch. The packed
@@ -269,7 +310,8 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
     out_h, w = geodesic_attention(
         qh, kh, vh, mask=mask, dropout_rate=dropout_rate,
         dropout_key=dropout_key, deterministic=deterministic, compat=compat,
-        need_weights=need_weights)
+        need_weights=need_weights, fused=fused, mesh=mesh,
+        ring_axis=ring_axis, kv_valid=kv_valid)
 
     out = merge_heads(out_h) @ params.out_proj_w + params.out_proj_b
     if need_weights and w is not None:

@@ -27,7 +27,8 @@ def ode_encoder(params: list, src: jnp.ndarray, cfg: LayerConfig, *,
                 mask: jnp.ndarray | None = None, rng=None,
                 deterministic: bool = True, adjoint: bool = False,
                 rtol: float = 1e-7, atol: float = 1e-9,
-                steps: int = 1) -> jnp.ndarray:
+                steps: int = 1, mesh=None,
+                kv_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """ODE-integrated encoder over [L, N, S, D] tokens, ReLU epilogue.
 
     ``steps`` controls the fixed-grid density: steps=1 with euler reproduces the
@@ -42,7 +43,8 @@ def ode_encoder(params: list, src: jnp.ndarray, cfg: LayerConfig, *,
     def rhs(t, y, p):
         del t  # autonomous field: the reference RHS ignores t (ode_demo.py:53-72)
         return encoder_stack(p, y, cfg, mask=mask, rng=rng,
-                             deterministic=deterministic)
+                             deterministic=deterministic, mesh=mesh,
+                             kv_valid=kv_valid)
 
     ts = jnp.linspace(0.0, time, steps + 1)
     integrate = odeint_adjoint if adjoint else odeint

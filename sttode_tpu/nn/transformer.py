@@ -55,13 +55,20 @@ def gated_attention(params: GatedAttentionParams, query: jnp.ndarray,
                     mask: jnp.ndarray | None = None,
                     dropout_rate: float = 0.0, dropout_key=None,
                     deterministic: bool = True, compat: str = "reference",
-                    need_weights: bool = False):
+                    need_weights: bool = False,
+                    fused: str | bool = "auto", mesh=None,
+                    ring_axis: str = "data",
+                    kv_valid: jnp.ndarray | None = None):
     """Gated geodesic attention over 4-D input [L, N, S, D].
 
     L is the attended token axis (the reference feeds the *scene/batch* axis
     here — quirk Q4), N the agent axis, S the sample axis. Rearranged to
     [N·S, L, D] so heads/Gram/AV batch over N·S on the MXU.
     Returns (out [L, N, S, D], attn_weights or None).
+
+    ``fused`` selects the kernel route (see ``geodesic_attention``), incl.
+    "ring" — token-axis sequence parallelism over ``mesh[ring_axis]`` with
+    ``kv_valid`` [N·S, L] (or broadcastable) marking real key tokens.
     """
     L, N, S, D = query.shape
 
@@ -77,11 +84,14 @@ def gated_attention(params: GatedAttentionParams, query: jnp.ndarray,
         v = to_batch_first(value) if value is not key else k
 
     if compat == "reference":
-        mask = None  # quirk Q2: Hypattention never forwards masks into the kernel
+        # quirk Q2: Hypattention never forwards masks into the kernel
+        mask = None
+        kv_valid = None
     out, w = mhgsa(params.attn, q, k, v, num_heads, mask=mask,
                    dropout_rate=dropout_rate, dropout_key=dropout_key,
                    deterministic=deterministic, compat=compat,
-                   need_weights=need_weights)
+                   need_weights=need_weights, fused=fused, mesh=mesh,
+                   ring_axis=ring_axis, kv_valid=kv_valid)
     gated = jnp.tanh(core.dense(params.info, out)) * \
         jax.nn.sigmoid(core.dense(params.gate, out))
     gated = jnp.transpose(gated, (1, 0, 2)).reshape(L, N, S, D)
@@ -111,13 +121,22 @@ class DecoderLayerParams(NamedTuple):
 
 class LayerConfig(NamedTuple):
     """Static hyperparameters of one transformer layer (reference defaults at
-    model/STTODE.py:190-195: d_model=64, nhead=8, ff_dim=1024, dropout=0)."""
+    model/STTODE.py:190-195: d_model=64, nhead=8, ff_dim=1024, dropout=0).
+
+    ``attn_impl`` routes the attention core: "auto" (measured crossover),
+    "dense" (jnp/XLA), "fused"/"flash" (Pallas kernels), "ring"
+    (sequence-parallel shard_map — needs a mesh threaded through the call)."""
     d_model: int = 64
     num_heads: int = 8
     ff_dim: int = 1024
     dropout: float = 0.0
     activation: str = "relu"
     compat: str = "reference"
+    attn_impl: str = "auto"
+
+
+_ATTN_IMPL_TO_FUSED = {"auto": "auto", "dense": False, "fused": True,
+                       "flash": "flash", "ring": "ring"}
 
 
 def _ffn_init(key, d_model: int, ff_dim: int, dtype=jnp.float32) -> FFNParams:
@@ -147,7 +166,8 @@ def encoder_layer_init(key, cfg: LayerConfig, dtype=jnp.float32) -> EncoderLayer
 
 def encoder_layer(params: EncoderLayerParams, src: jnp.ndarray,
                   cfg: LayerConfig, *, mask: jnp.ndarray | None = None,
-                  rng=None, deterministic: bool = True) -> jnp.ndarray:
+                  rng=None, deterministic: bool = True, mesh=None,
+                  kv_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Post-norm encoder layer over [L, N, S, D] tokens
     (reference hypertransformer.py:134-153)."""
     if rng is None:
@@ -156,7 +176,9 @@ def encoder_layer(params: EncoderLayerParams, src: jnp.ndarray,
     attn_out, _ = gated_attention(
         params.self_attn, src, src, src, cfg.num_heads, mask=mask,
         dropout_rate=cfg.dropout, dropout_key=k_attn,
-        deterministic=deterministic, compat=cfg.compat)
+        deterministic=deterministic, compat=cfg.compat,
+        fused=_ATTN_IMPL_TO_FUSED[cfg.attn_impl], mesh=mesh,
+        kv_valid=kv_valid)
     src = src + core.dropout(k_d1, attn_out, cfg.dropout, deterministic)
     src = core.layer_norm(params.norm1, src)
     ffn_out = _ffn(params.ffn, src, cfg, k_ffn, deterministic)
@@ -211,7 +233,8 @@ def encoder_stack_init(key, cfg: LayerConfig, num_layers: int,
 
 
 def encoder_stack(params: list, src: jnp.ndarray, cfg: LayerConfig, *,
-                  mask=None, rng=None, deterministic: bool = True) -> jnp.ndarray:
+                  mask=None, rng=None, deterministic: bool = True,
+                  mesh=None, kv_valid=None) -> jnp.ndarray:
     """Stack of encoder layers (reference hypertransformer.py:239-281). With
     nlayer=1 (the reference's only configuration) this is one layer; deeper
     stacks unroll — each layer has distinct params, matching _get_clones."""
@@ -220,7 +243,8 @@ def encoder_stack(params: list, src: jnp.ndarray, cfg: LayerConfig, *,
     keys = jax.random.split(rng, max(len(params), 1))
     for p, k in zip(params, keys):
         src = encoder_layer(p, src, cfg, mask=mask, rng=k,
-                            deterministic=deterministic)
+                            deterministic=deterministic, mesh=mesh,
+                            kv_valid=kv_valid)
     return src
 
 

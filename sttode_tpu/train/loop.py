@@ -68,7 +68,7 @@ def make_train_step(cfg: STTODEConfig, optimizer: optax.GradientTransformation,
 
     def one(params, opt_state, batch: Batch, key):
         def loss_fn(p):
-            out = sttode_forward(p, cfg, batch, key, train=True)
+            out = sttode_forward(p, cfg, batch, key, train=True, mesh=mesh)
             return out.total_loss, out
 
         (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
