@@ -36,7 +36,7 @@ def batch_stream(args, data, nprng, cfg):
             data, training=True, rng=nprng,
             scenes_per_batch=args.scenes_per_batch,
             max_train_agent=common.effective_max_train_agent(args),
-            rand_rot=not args.no_rand_rot)
+            rand_rot=not args.no_rand_rot, compat=cfg.compat)
 
 
 def main(argv=None):

