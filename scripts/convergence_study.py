@@ -44,11 +44,23 @@ def main():
     ap.add_argument("--eval_every", type=int, default=5)
     ap.add_argument("--attn_axis", default="agent")
     ap.add_argument("--compat", default="tpu")
+    ap.add_argument("--ode_method", default="euler",
+                    choices=("euler", "midpoint", "rk4", "dopri5"))
+    ap.add_argument("--ode_adjoint", action="store_true",
+                    help="O(1)-memory continuous-adjoint gradients through "
+                         "the ODE encoders (BASELINE.md config 2)")
+    ap.add_argument("--ode_steps", type=int, default=1)
+    ap.add_argument("--ode_rtol", type=float, default=1e-5)
+    ap.add_argument("--ode_atol", type=float, default=1e-7)
     args = ap.parse_args()
 
     train = make_social_scenes(args.train_scenes, seed=0)
     test = make_social_scenes(args.test_scenes, seed=1)
-    cfg = STTODEConfig(compat=args.compat, attn_axis=args.attn_axis)
+    cfg = STTODEConfig(compat=args.compat, attn_axis=args.attn_axis,
+                       ode_method=args.ode_method,
+                       ode_adjoint=args.ode_adjoint,
+                       ode_steps=args.ode_steps,
+                       ode_rtol=args.ode_rtol, ode_atol=args.ode_atol)
 
     key = jax.random.PRNGKey(0)
     key, k_init = jax.random.split(key)
@@ -80,9 +92,17 @@ def main():
         print(line, flush=True)
 
     total_min = (time.time() - t_start) / 60
+    ode_desc = args.ode_method
+    if args.ode_method == "dopri5":
+        ode_desc += f"(rtol={args.ode_rtol:g}, atol={args.ode_atol:g})"
+    elif args.ode_steps > 1:
+        ode_desc += f"×{args.ode_steps}"
+    if args.ode_adjoint:
+        ode_desc += "+adjoint"
     with open("CONVERGENCE.md", "a") as f:
         f.write(f"\n## Run: {args.epochs} epochs, {args.train_scenes} train "
                 f"scenes, compat={args.compat}/{args.attn_axis}, "
+                f"ode={ode_desc}, "
                 f"{total_min:.1f} min on {jax.devices()[0].device_kind}\n\n")
         f.write("| epoch | test min-ADE (K=20) | test min-FDE |\n|---|---|---|\n")
         for e, a, d in history:

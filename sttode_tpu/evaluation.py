@@ -2,9 +2,9 @@
 
 Best-of-K min-ADE/FDE over scene sweeps, and the NBA horizon table (per-0.4s
 prefix errors with the reference's 1s/3s adjacent-prefix averaging,
-test.py:495-588). Device work (the 20-sample decode) is jitted per bucket
-shape; the tiny min/mean reductions run in numpy on the host like the
-reference's.
+test.py:495-588). The 20-sample decode AND the best-of-K reductions run
+inside one jitted dispatch per bucket shape (``device_reduce=True``); the
+host-numpy path remains as the tested oracle.
 """
 
 from __future__ import annotations
@@ -29,12 +29,51 @@ def _infer(params, cfg: STTODEConfig, batch: Batch, key, sample_k: int):
     return sttode_inference(params, cfg, batch, key, sample_k=sample_k)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sample_k"))
+def _infer_and_reduce(params, cfg: STTODEConfig, batch: Batch, key,
+                      sample_k: int, miss_threshold: float):
+    """Best-of-K decode AND the min/ADE/FDE reduction in one device dispatch
+    (round-1 VERDICT item 8 — the host loop shipped only K·M·T floats less).
+
+    Scene origins cancel in pred−gt (both sides get +orig), so the reduction
+    is origin-free. Returns per-batch sums masked by validity:
+    (Σ ade, Σ fde, Σ missed, Σ valid)."""
+    import jax.numpy as jnp
+
+    preds = sttode_inference(params, cfg, batch, key, sample_k=sample_k)
+    err = jnp.linalg.norm(preds - batch.future[None], axis=-1)   # [K, M, T]
+    ade_per = jnp.min(jnp.mean(err, axis=-1), axis=0)            # [M]
+    fde_per = jnp.min(err[..., -1], axis=0)                      # [M]
+    v = batch.valid
+    return (jnp.sum(ade_per * v), jnp.sum(fde_per * v),
+            jnp.sum((fde_per > miss_threshold) * v), jnp.sum(v))
+
+
 def evaluate_scenes(params, cfg: STTODEConfig, scenes: list[dict], key, *,
                     sample_k: int = 20, scenes_per_batch: int = 1,
-                    miss_threshold: float = 1.0) -> dict:
+                    miss_threshold: float = 1.0,
+                    device_reduce: bool = True) -> dict:
     """ETH/SDD protocol: per-scene best-of-K ADE/FDE averaged per agent
     (reference test.py:163-208). Returns {'ade', 'fde', 'miss_rate', 'agents'}.
-    """
+
+    ``device_reduce=True`` (default) runs the best-of-K min/mean reductions
+    inside the jitted dispatch; False keeps the host-numpy path — the oracle
+    the device path is tested against (tests/test_evaluation.py)."""
+    if device_reduce:
+        ade_s = fde_s = miss_s = n_s = 0.0
+        for batch, _origs in scene_batches(scenes, training=False,
+                                           scenes_per_batch=scenes_per_batch):
+            key, sub = jax.random.split(key)
+            a, f, m, n = _infer_and_reduce(params, cfg, batch, sub, sample_k,
+                                           miss_threshold)
+            ade_s += float(a)
+            fde_s += float(f)
+            miss_s += float(m)
+            n_s += float(n)
+        n_s = max(n_s, 1.0)
+        return {"ade": ade_s / n_s, "fde": fde_s / n_s,
+                "miss_rate": miss_s / n_s, "agents": int(n_s)}
+
     ade_m, fde_m = AverageMeter(), AverageMeter()
     missed, total = 0, 0
     for batch, origs in scene_batches(scenes, training=False,

@@ -46,6 +46,25 @@ class TestEvaluateScenes:
         np.testing.assert_allclose(m1["ade"], m2["ade"], rtol=1e-4)
         np.testing.assert_allclose(m1["fde"], m2["fde"], rtol=1e-4)
 
+    def test_device_reduce_matches_host_oracle(self, rng):
+        """The jitted in-dispatch best-of-K reduction must agree with the
+        host-numpy oracle on padded, multi-scene sweeps (same RNG keys →
+        identical decodes)."""
+        cfg = tiny_cfg(past_length=8, future_length=12)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        scenes = [{"obs": rng.standard_normal((n, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((n, 12, 2)).astype(np.float32)}
+                  for n in (3, 5, 7, 12)]
+        m_dev = evaluate_scenes(params, cfg, scenes, jax.random.PRNGKey(1),
+                                sample_k=3, device_reduce=True)
+        m_host = evaluate_scenes(params, cfg, scenes, jax.random.PRNGKey(1),
+                                 sample_k=3, device_reduce=False)
+        assert m_dev["agents"] == m_host["agents"] == 27
+        np.testing.assert_allclose(m_dev["ade"], m_host["ade"], rtol=1e-5)
+        np.testing.assert_allclose(m_dev["fde"], m_host["fde"], rtol=1e-5)
+        np.testing.assert_allclose(m_dev["miss_rate"], m_host["miss_rate"],
+                                   rtol=1e-6)
+
 
 class TestNbaHorizon:
     def test_table_against_reference_mirror(self, rng):
