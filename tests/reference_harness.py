@@ -105,6 +105,8 @@ def load_reference() -> types.SimpleNamespace:
     _cache["hypertransformer"] = importlib.import_module("hypertransformer")
     _cache["ode_demo"] = importlib.import_module("ode_demo")
     _cache["sttode"] = importlib.import_module("model.STTODE")
+    _cache["sampler"] = importlib.import_module("sampler")
+    _cache["samplerloss"] = importlib.import_module("samplerloss")
     return types.SimpleNamespace(**_cache)
 
 
@@ -195,4 +197,16 @@ def port_model(net) -> dict:
                                for l in net.future_encoder.out_mlp.affine_layers]},
         "qz_layer": port_linear(net.future_encoder.qz_layer),
         "decoder": [port_decompose(db) for db in net.decoder.decompose],
+    }
+
+
+def port_sampler(sampler) -> dict:
+    """reference Sampler (sampler.py:7-76) → sttode_tpu sampler params."""
+    return {
+        "linear": port_linear(sampler.linear),
+        "q_mlp": {"layers": [port_linear(l)
+                             for l in sampler.q_mlp.affine_layers]},
+        "q_A": port_linear(sampler.q_A),
+        "q_b": port_linear(sampler.q_b),
+        "q_c": port_linear(sampler.q_c),
     }

@@ -413,3 +413,85 @@ class TestFullModelVsReference:
         ours = jnp.transpose(
             diverse.reshape(M, 20, cfg.future_length, 2), (1, 0, 2, 3))
         _allclose(ours, traj_ref, atol=5e-4)
+
+
+# --------------------------------------------------------------------------- #
+# stage 2: DLow sampler + losses                                              #
+# --------------------------------------------------------------------------- #
+
+class TestSamplerVsReference:
+    def test_sampler_forward_and_losses(self, ref, small_cfg, rng):
+        """Reference Sampler.forward (sampler.py:32-73, mean path) driving the
+        frozen net, plus compute_sampler_loss_nba (samplerloss.py:45-74), vs
+        our sampler_forward/sampler_loss with ported weights."""
+        import torch
+
+        from sttode_tpu.models.sampler import (SamplerConfig, sampler_forward,
+                                               sampler_loss)
+
+        # the reference Sampler hard-codes linear(128->64) (sampler.py:26),
+        # i.e. past_feature = 2*hidden = 128 -> hidden_dim must be 64
+        cfg = small_cfg._replace(hidden_dim=64)
+        B, N = 2, 3
+        M = B * N
+        args = _ref_args(cfg)
+        args.nz = cfg.zdim            # sampler latent must match net zdim
+        args.share_eps = True
+        args.train_w_mean = True
+        args.qnet_mlp = [512, 256]
+        args.kld_weight = 0.1
+        args.kld_min_clamp = 10.0
+        net = ref.sttode.STTODENet(args, torch.device("cpu"))
+        net.eval()
+        sampler = ref.sampler.Sampler(args)
+        sampler.eval()
+
+        params = rh.port_model(net)
+        sp = rh.port_sampler(sampler)
+        scfg = SamplerConfig(nk=20, nz=cfg.zdim, train_w_mean=True,
+                             div_weight=1.0, div_scale=1.0)
+
+        past, past_vel, future, future_vel = _nba_style_batch(
+            rng, B, N, cfg.past_length, cfg.future_length)
+        data = {"past_traj": t(past).view(B, N, cfg.past_length, 2),
+                "future_traj": t(future).view(B, N, cfg.future_length, 2)}
+        net.set_data_nba(data)
+
+        # the sampler's mean path draws no eps itself, but the net's
+        # fu_encoder (2 draws) and decoder_future_0 (1 draw) still sample —
+        # all three are discarded by the sampler path; queue placeholders
+        eps_discard = [
+            t(rng.standard_normal((M, cfg.zdim)).astype(np.float32)),
+            t(rng.standard_normal((M, cfg.zdim)).astype(np.float32)),
+            t(rng.standard_normal((M * 20, cfg.zdim)).astype(np.float32))]
+        orig_randn_like = torch.randn_like
+        torch.randn_like = lambda x, **kw: eps_discard.pop(0).to(x.dtype)
+        try:
+            with torch.no_grad():
+                dec_ref, sdist_ref, vdist_ref, recon_ref = sampler.forward(net)
+        finally:
+            torch.randn_like = orig_randn_like
+
+        batch = Batch(past=jnp.asarray(past), past_vel=jnp.asarray(past_vel),
+                      future=jnp.asarray(future),
+                      future_vel=jnp.asarray(future_vel),
+                      valid=jnp.ones((M,), jnp.float32),
+                      batch_size=B, agent_num=N)
+        out = sampler_forward(sp, params, scfg, cfg, batch,
+                              jax.random.PRNGKey(0), mean=True)
+
+        _allclose(out.dec_motion, dec_ref, atol=5e-4)
+        _allclose(out.recon_motion, recon_ref, atol=5e-4)
+        _allclose(out.sampler_dist.mu, sdist_ref.mu, atol=1e-5)
+        _allclose(out.sampler_dist.logvar, sdist_ref.logvar, atol=1e-4)
+
+        # losses (NBA branch): totals and per-term values
+        div_cfg = {"weight": 1.0, "scale": 1.0}
+        total_ref, loss_dict, _ = ref.samplerloss.compute_sampler_loss_nba(
+            args, t(future), dec_ref, B, vdist_ref, sdist_ref, div_cfg)
+        total_ours, terms = sampler_loss(out, scfg, batch)
+        np.testing.assert_allclose(float(total_ours), float(total_ref),
+                                   rtol=2e-4)
+        np.testing.assert_allclose(
+            float(terms["diverse"] * scfg.div_weight),
+            float(loss_dict["diverse"]), rtol=2e-4)
