@@ -61,6 +61,16 @@ def _install_shims() -> None:
         g2.glob = lambda pathname, **kw: _glob.glob(pathname, recursive=True)
         sys.modules["glob2"] = g2
 
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            # only consumed by hyptorch/delta.py's get_delta VGG16 feature
+            # extractor; the δ-hyperbolicity math under test never touches it
+            tv = types.ModuleType("torchvision")
+            tv.models = types.SimpleNamespace()
+            sys.modules["torchvision"] = tv
+
     import torch.nn.modules.linear as _lin
 
     if not hasattr(_lin, "_LinearWithBias"):
@@ -107,6 +117,7 @@ def load_reference() -> types.SimpleNamespace:
     _cache["sttode"] = importlib.import_module("model.STTODE")
     _cache["sampler"] = importlib.import_module("sampler")
     _cache["samplerloss"] = importlib.import_module("samplerloss")
+    _cache["delta"] = importlib.import_module("hyptorch.delta")
     return types.SimpleNamespace(**_cache)
 
 

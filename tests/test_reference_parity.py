@@ -416,6 +416,48 @@ class TestFullModelVsReference:
 
 
 # --------------------------------------------------------------------------- #
+# δ-hyperbolicity analysis tool                                               #
+# --------------------------------------------------------------------------- #
+
+class TestDeltaVsReference:
+    def test_delta_hyp(self, ref, rng):
+        """Gromov delta from a distance matrix (reference delta.py:12-23)."""
+        from scipy.spatial import distance_matrix
+
+        from sttode_tpu.utils.delta import delta_hyp
+
+        x = rng.standard_normal((40, 6)).astype(np.float64)
+        dm = distance_matrix(x, x)
+        np.testing.assert_allclose(delta_hyp(dm), ref.delta.delta_hyp(dm),
+                                   rtol=1e-10)
+
+    def test_batched_delta_hyp(self, ref, rng):
+        """Same subsample draws → same relative-delta estimate
+        (reference delta.py:26-35 draws via np.random.choice)."""
+        from sttode_tpu.utils.delta import batched_delta_hyp
+
+        x = rng.standard_normal((60, 5)).astype(np.float64)
+        np.random.seed(7)
+        m_ref, s_ref = ref.delta.batched_delta_hyp(x, n_tries=4, batch_size=30)
+
+        class _SeededChoice:
+            """Replays numpy's legacy global choice so subsamples align
+            (the reference uses np.random.choice WITH replacement; ours
+            defaults to without — pass through a replay shim)."""
+            def __init__(self):
+                np.random.seed(7)
+
+            def choice(self, n, size, replace=False):
+                del replace
+                return np.random.choice(n, size)
+
+        m_ours, s_ours = batched_delta_hyp(x, n_tries=4, batch_size=30,
+                                           rng=_SeededChoice())
+        np.testing.assert_allclose(m_ours, m_ref, rtol=1e-8)
+        np.testing.assert_allclose(s_ours, s_ref, rtol=1e-8)
+
+
+# --------------------------------------------------------------------------- #
 # stage 2: DLow sampler + losses                                              #
 # --------------------------------------------------------------------------- #
 
