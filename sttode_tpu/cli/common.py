@@ -56,6 +56,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ode_rtol", type=float, default=1e-7,
                    help="dopri5 relative tolerance (looser = fewer steps)")
     p.add_argument("--ode_atol", type=float, default=1e-9)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bfloat16 casts the decode-MLP matmul operands (the "
+                        "step's dominant HBM traffic) with fp32 accumulate; "
+                        "attention Gram / losses stay fp32")
+    p.add_argument("--attn_impl", default="auto",
+                   choices=("auto", "dense", "fused", "flash", "ring"),
+                   help="attention kernel route; 'ring' = sequence-parallel "
+                        "shard_map over the mesh's data axis")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--scan_steps", type=int, default=1,
                    help="optimizer steps fused into one device dispatch via "
@@ -83,6 +92,8 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         ode_method=args.ode_method, ode_steps=args.ode_steps,
         ode_adjoint=args.ode_adjoint, ode_rtol=args.ode_rtol,
         ode_atol=args.ode_atol,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
+        attn_impl=getattr(args, "attn_impl", "auto"),
     )
 
 

@@ -107,6 +107,8 @@ class STTODEConfig(NamedTuple):
             self.ode_method
         assert self.attn_impl in ("auto", "dense", "fused", "flash", "ring"), \
             self.attn_impl
+        assert self.compute_dtype in ("float32", "bfloat16"), \
+            self.compute_dtype
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad
         return self

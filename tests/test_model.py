@@ -47,6 +47,27 @@ class TestForward:
         # so the floored value is exactly min_clip (quirk Q5 semantics)
         assert float(out.loss_kl) >= cfg.min_clip - 1e-6
 
+    def test_bfloat16_compute_dtype(self, rng):
+        """compute_dtype='bfloat16' (decode-MLP operands cast, fp32
+        accumulate): losses stay finite/fp32 and track the fp32 run within
+        bf16 resolution; gradients flow."""
+        cfg32 = tiny_cfg()
+        cfg16 = tiny_cfg(compute_dtype="bfloat16")
+        params = sttode_init(jax.random.PRNGKey(0), cfg32)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(1)
+        out32 = sttode_forward(params, cfg32, batch, key)
+        out16 = sttode_forward(params, cfg16, batch, key)
+        assert out16.total_loss.dtype == jnp.float32
+        np.testing.assert_allclose(float(out16.total_loss),
+                                   float(out32.total_loss), rtol=2e-2)
+
+        g = jax.grad(lambda p: sttode_forward(p, cfg16, batch, key).total_loss)(
+            params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+        assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in flat)
+
     def test_agent_axis_mode(self, rng):
         cfg = tiny_cfg(compat="tpu", attn_axis="agent")
         params = sttode_init(jax.random.PRNGKey(0), cfg)
