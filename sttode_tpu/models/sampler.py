@@ -79,7 +79,8 @@ class SamplerOutput(NamedTuple):
 
 def sampler_forward(sampler_params: dict, net_params: dict,
                     scfg: SamplerConfig, cfg: STTODEConfig, batch: Batch,
-                    rng, *, mean: bool | None = None) -> SamplerOutput:
+                    rng, *, mean: bool | None = None,
+                    mesh=None) -> SamplerOutput:
     """Reference Sampler.forward (sampler.py:32-73) as a pure function.
 
     ``mean=None`` resolves to ``scfg.train_w_mean`` (the reference's default
@@ -92,7 +93,8 @@ def sampler_forward(sampler_params: dict, net_params: dict,
     M = batch.batch_size * batch.agent_num
     K, Z = scfg.nk, scfg.nz
 
-    past_feature = encode_past(net_params, cfg, batch, rng=k_enc, train=False)
+    past_feature = encode_past(net_params, cfg, batch, rng=k_enc, train=False,
+                               mesh=mesh)
 
     h = core.dense(sampler_params["linear"], past_feature)        # [M, 64]
     h = core.mlp(sampler_params["q_mlp"], h, activation="tanh",

@@ -113,17 +113,21 @@ def make_train_step(cfg: STTODEConfig, optimizer: optax.GradientTransformation,
 def make_sampler_train_step(cfg: STTODEConfig, scfg: SamplerConfig,
                             optimizer: optax.GradientTransformation,
                             *, donate: bool = True,
-                            scan_steps: int = 1) -> Callable:
+                            scan_steps: int = 1, mesh=None) -> Callable:
     """Compiled stage-2 step (frozen net): (sampler_params, net_params,
     opt_state, batch, key) → (sampler_params, opt_state, metrics).
 
     ``scan_steps > 1`` takes a stacked batch ([S, ...] array fields, see
     ``stack_batches``) and runs S steps per dispatch, like
-    ``make_train_step``; the frozen net params ride along as a constant."""
+    ``make_train_step``; the frozen net params ride along as a constant.
+
+    With ``mesh`` the step is pjit-compiled like stage 1: sampler/net params
+    replicated, batch rows sharded over "data", gradient psum by XLA."""
 
     def one(sampler_params, net_params, opt_state, batch: Batch, key):
         def loss_fn(sp):
-            out = sampler_forward(sp, net_params, scfg, cfg, batch, key)
+            out = sampler_forward(sp, net_params, scfg, cfg, batch, key,
+                                  mesh=mesh)
             total, parts = sampler_loss(out, scfg, batch)
             return total, parts
 
@@ -146,7 +150,19 @@ def make_sampler_train_step(cfg: STTODEConfig, scfg: SamplerConfig,
                 body, (sampler_params, opt_state), batches, key)
             return sampler_params, opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 2) if donate else ())
+    donate_argnums = (0, 2) if donate else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate_argnums)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    b_sh = batch_sharding(mesh, stacked=scan_steps > 1)
+    return jax.jit(
+        step,
+        in_shardings=(None, None, None, b_sh, repl),
+        out_shardings=(None, None, None),
+        donate_argnums=donate_argnums,
+    )
 
 
 def train_epoch(step_fn: Callable, params, opt_state,

@@ -129,6 +129,40 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-5)
 
+    def test_sampler_step_on_mesh_matches_single_device(self, rng):
+        """Stage-2 DP over the 8-way mesh: sampler params after one step
+        match the single-device step (gradient psum correctness)."""
+        from sttode_tpu.parallel import make_mesh, shard_batch
+
+        cfg = tiny_cfg()
+        scfg = SamplerConfig(nk=4, nz=cfg.zdim, train_w_mean=True)
+        net = sttode_init(jax.random.PRNGKey(0), cfg)
+        # SGD, not Adam: the check is gradient equality across reduction
+        # orders, and Adam's m/√v normalization amplifies fp noise on
+        # near-zero grads into O(1) relative update differences
+        opt = optax.sgd(1e-2)
+        batch = make_batch(rng)           # M = 8 rows → one per device
+        key = jax.random.PRNGKey(9)
+        sp0 = sampler_init(jax.random.PRNGKey(1), scfg,
+                           pred_model_dim=cfg.hidden_dim,
+                           past_feature_dim=2 * cfg.hidden_dim)
+
+        step1 = make_sampler_train_step(cfg, scfg, opt, donate=False)
+        sp_a, _, m_a = step1(sp0, net, opt.init(sp0), batch, key)
+
+        mesh = make_mesh(dp=8, tp=1)
+        stepM = make_sampler_train_step(cfg, scfg, opt, donate=False,
+                                        mesh=mesh)
+        sp_b, _, m_b = stepM(sp0, net, opt.init(sp0),
+                             shard_batch(batch, mesh), key)
+        np.testing.assert_allclose(float(m_a["total"]), float(m_b["total"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(sp_a),
+                        jax.tree_util.tree_leaves(sp_b)):
+            # tolerance covers psum-vs-single reduction-order noise
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-2, atol=1e-4)
+
     def test_train_epoch_scanned_interleaved_buckets(self, rng):
         """Alternating bucket shapes each fill their own chunk — every batch
         is consumed exactly once and means stay finite."""
