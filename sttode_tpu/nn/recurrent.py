@@ -61,17 +61,31 @@ def gru_cell(params: GRUParams, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 def gru(params: GRUParams, xs: jnp.ndarray,
         h0: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Run a GRU over the time axis. xs: [B, T, D] → (ys [B, T, H], h_T [B, H])."""
+    """Run a GRU over the time axis. xs: [B, T, D] → (ys [B, T, H], h_T [B, H]).
+
+    The input projection ``xs @ w_ih`` has no sequential dependency, so it is
+    hoisted out of the scan into ONE [B·T, D]×[D, 3H] MXU matmul; the scan
+    body keeps only the recurrent ``h @ w_hh`` — half the sequential kernels
+    on the latency-bound critical path (T is 5-12 here; the per-step matmuls
+    are tiny, so launch latency dominates). Bitwise-identical recurrence."""
     B, T, _ = xs.shape
     H = params.w_hh.shape[0]
     if h0 is None:
         h0 = jnp.zeros((B, H), xs.dtype)
 
-    def step(h, x_t):
-        h_new = gru_cell(params, h, x_t)
+    gi_all = xs @ params.w_ih + params.b_ih            # [B, T, 3H], one matmul
+
+    def step(h, gi):
+        gh = h @ params.w_hh + params.b_hh
+        i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
+        h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+    h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi_all, 0, 1))
     return jnp.swapaxes(ys, 0, 1), h_final
 
 
