@@ -65,6 +65,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=("auto", "dense", "fused", "flash", "ring"),
                    help="attention kernel route; 'ring' = sequence-parallel "
                         "shard_map over the mesh's data axis")
+    p.add_argument("--attn_metric", default="oblique",
+                   choices=("oblique", "poincare"),
+                   help="MHGSA distance metric: oblique unit-sphere (the "
+                        "reference's live path) or Poincare-ball geodesic "
+                        "(the paper's framing)")
+    p.add_argument("--curvature", type=float, default=1.0,
+                   help="Poincare ball curvature c (attn_metric=poincare)")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--scan_steps", type=int, default=1,
                    help="optimizer steps fused into one device dispatch via "
@@ -94,6 +101,8 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         ode_atol=args.ode_atol,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "auto"),
+        attn_metric=getattr(args, "attn_metric", "oblique"),
+        curvature=getattr(args, "curvature", 1.0),
     )
 
 

@@ -71,6 +71,12 @@ class STTODEConfig(NamedTuple):
                                   # (sequence-parallel shard_map over the
                                   # mesh's "data" axis; pass mesh= through
                                   # sttode_forward / make_train_step)
+    attn_metric: str = "oblique"  # "oblique" (reference live path) |
+                                  # "poincare" (the paper's MHGSA framing:
+                                  # ball geodesic distance — the reference
+                                  # ships the pmath toolbox but never wires
+                                  # it into attention; here it's a config)
+    curvature: float = 1.0        # Poincaré ball c (attn_metric="poincare")
     pe_dropout: float = 0.1
     dropout: float = 0.0
     remat: bool = False           # jax.checkpoint the encoder trunks: trade
@@ -93,7 +99,9 @@ class STTODEConfig(NamedTuple):
     def layer_cfg(self) -> LayerConfig:
         return LayerConfig(d_model=self.hidden_dim, num_heads=self.num_heads,
                            ff_dim=self.ff_dim, dropout=self.dropout,
-                           compat=self.compat, attn_impl=self.attn_impl)
+                           compat=self.compat, attn_impl=self.attn_impl,
+                           attn_metric=self.attn_metric,
+                           curvature=self.curvature)
 
     def validate(self) -> "STTODEConfig":
         """Fail fast on inconsistent hyperparameters."""
@@ -109,6 +117,11 @@ class STTODEConfig(NamedTuple):
             self.attn_impl
         assert self.compute_dtype in ("float32", "bfloat16"), \
             self.compute_dtype
+        assert self.attn_metric in ("oblique", "poincare"), self.attn_metric
+        assert not (self.attn_metric == "poincare" and self.attn_impl
+                    in ("fused", "flash", "ring")), \
+            "poincare metric runs on the jnp path: use attn_impl auto/dense"
+        assert self.curvature > 0.0, self.curvature
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad
         return self

@@ -183,6 +183,10 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     """
     dropout_active = (not deterministic) and dropout_rate > 0.0
     if fused == "ring":
+        if metric != "oblique":
+            raise ValueError("ring attention implements the oblique metric "
+                             "only; use attn_impl='dense'/'auto' with "
+                             "metric='poincare'")
         if mesh is None:
             raise ValueError("attn_impl='ring' needs a mesh — pass it through "
                              "sttode_forward(..., mesh=) / make_train_step")
@@ -254,7 +258,9 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
           fused: str | bool = "auto",
           mesh=None,
           ring_axis: str = "data",
-          kv_valid: jnp.ndarray | None = None):
+          kv_valid: jnp.ndarray | None = None,
+          metric: str = "oblique",
+          curvature: float = 1.0):
     """Full multi-head geodesic attention (reference hyp_mhsa semantics).
 
     query [..., L, E]; key/value [..., S, E]. Leading dims are batch. The packed
@@ -311,7 +317,8 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
         qh, kh, vh, mask=mask, dropout_rate=dropout_rate,
         dropout_key=dropout_key, deterministic=deterministic, compat=compat,
         need_weights=need_weights, fused=fused, mesh=mesh,
-        ring_axis=ring_axis, kv_valid=kv_valid)
+        ring_axis=ring_axis, kv_valid=kv_valid, metric=metric,
+        curvature=curvature)
 
     out = merge_heads(out_h) @ params.out_proj_w + params.out_proj_b
     if need_weights and w is not None:

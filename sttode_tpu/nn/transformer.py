@@ -58,7 +58,8 @@ def gated_attention(params: GatedAttentionParams, query: jnp.ndarray,
                     need_weights: bool = False,
                     fused: str | bool = "auto", mesh=None,
                     ring_axis: str = "data",
-                    kv_valid: jnp.ndarray | None = None):
+                    kv_valid: jnp.ndarray | None = None,
+                    metric: str = "oblique", curvature: float = 1.0):
     """Gated geodesic attention over 4-D input [L, N, S, D].
 
     L is the attended token axis (the reference feeds the *scene/batch* axis
@@ -91,7 +92,8 @@ def gated_attention(params: GatedAttentionParams, query: jnp.ndarray,
                    dropout_rate=dropout_rate, dropout_key=dropout_key,
                    deterministic=deterministic, compat=compat,
                    need_weights=need_weights, fused=fused, mesh=mesh,
-                   ring_axis=ring_axis, kv_valid=kv_valid)
+                   ring_axis=ring_axis, kv_valid=kv_valid, metric=metric,
+                   curvature=curvature)
     gated = jnp.tanh(core.dense(params.info, out)) * \
         jax.nn.sigmoid(core.dense(params.gate, out))
     gated = jnp.transpose(gated, (1, 0, 2)).reshape(L, N, S, D)
@@ -133,6 +135,10 @@ class LayerConfig(NamedTuple):
     activation: str = "relu"
     compat: str = "reference"
     attn_impl: str = "auto"
+    attn_metric: str = "oblique"   # "oblique" (reference live path) |
+                                   # "poincare" (the paper's framing — ball
+                                   # geodesic distance via expmap0/project)
+    curvature: float = 1.0         # Poincaré ball c (attn_metric="poincare")
 
 
 _ATTN_IMPL_TO_FUSED = {"auto": "auto", "dense": False, "fused": True,
@@ -178,7 +184,7 @@ def encoder_layer(params: EncoderLayerParams, src: jnp.ndarray,
         dropout_rate=cfg.dropout, dropout_key=k_attn,
         deterministic=deterministic, compat=cfg.compat,
         fused=_ATTN_IMPL_TO_FUSED[cfg.attn_impl], mesh=mesh,
-        kv_valid=kv_valid)
+        kv_valid=kv_valid, metric=cfg.attn_metric, curvature=cfg.curvature)
     src = src + core.dropout(k_d1, attn_out, cfg.dropout, deterministic)
     src = core.layer_norm(params.norm1, src)
     ffn_out = _ffn(params.ffn, src, cfg, k_ffn, deterministic)
@@ -210,13 +216,15 @@ def decoder_layer(params: DecoderLayerParams, tgt: jnp.ndarray,
     sa, sw = gated_attention(
         params.self_attn, tgt, tgt, tgt, cfg.num_heads, mask=tgt_mask,
         dropout_rate=cfg.dropout, dropout_key=ks[0],
-        deterministic=deterministic, compat=cfg.compat, need_weights=True)
+        deterministic=deterministic, compat=cfg.compat, need_weights=True,
+        metric=cfg.attn_metric, curvature=cfg.curvature)
     tgt = core.layer_norm(params.norm1,
                           tgt + core.dropout(ks[1], sa, cfg.dropout, deterministic))
     ca, cw = gated_attention(
         params.cross_attn, tgt, memory, memory, cfg.num_heads,
         mask=memory_mask, dropout_rate=cfg.dropout, dropout_key=ks[2],
-        deterministic=deterministic, compat=cfg.compat, need_weights=True)
+        deterministic=deterministic, compat=cfg.compat, need_weights=True,
+        metric=cfg.attn_metric, curvature=cfg.curvature)
     tgt = core.layer_norm(params.norm2,
                           tgt + core.dropout(ks[3], ca, cfg.dropout, deterministic))
     ffn_out = _ffn(params.ffn, tgt, cfg, ks[4], deterministic)

@@ -47,6 +47,36 @@ class TestForward:
         # so the floored value is exactly min_clip (quirk Q5 semantics)
         assert float(out.loss_kl) >= cfg.min_clip - 1e-6
 
+    def test_poincare_metric_full_model(self, rng):
+        """attn_metric='poincare' (the paper's MHGSA framing, never wired in
+        by the reference): full forward runs, differs from the oblique
+        metric, responds to curvature, and gradients flow."""
+        cfg_obl = tiny_cfg()
+        cfg_ball = tiny_cfg(attn_metric="poincare").validate()
+        cfg_ball2 = tiny_cfg(attn_metric="poincare", curvature=0.3).validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg_obl)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(1)
+        out_obl = sttode_forward(params, cfg_obl, batch, key, train=False)
+        out_ball = sttode_forward(params, cfg_ball, batch, key, train=False)
+        out_ball2 = sttode_forward(params, cfg_ball2, batch, key, train=False)
+        for o in (out_ball, out_ball2):
+            assert np.isfinite(float(o.total_loss))
+        assert abs(float(out_ball.loss_pred) - float(out_obl.loss_pred)) > 1e-6
+        assert abs(float(out_ball.loss_pred) - float(out_ball2.loss_pred)) > 1e-8
+
+        g = jax.grad(lambda p: sttode_forward(
+            p, cfg_ball, batch, key, train=False).total_loss)(params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+        assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in flat)
+
+    def test_poincare_metric_rejects_pallas_routes(self):
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="poincare"):
+            tiny_cfg(attn_metric="poincare", attn_impl="fused").validate()
+
     def test_bfloat16_compute_dtype(self, rng):
         """compute_dtype='bfloat16' (decode-MLP operands cast, fp32
         accumulate): losses stay finite/fp32 and track the fp32 run within

@@ -525,7 +525,9 @@ class TestSamplerVsReference:
         _allclose(out.dec_motion, dec_ref, atol=5e-4)
         _allclose(out.recon_motion, recon_ref, atol=5e-4)
         _allclose(out.sampler_dist.mu, sdist_ref.mu, atol=1e-5)
-        _allclose(out.sampler_dist.logvar, sdist_ref.logvar, atol=1e-4)
+        # log(A²+1e-8) amplifies ulp-level A differences; 5e-4 in log
+        # space ≈ 2.5e-4 relative on A
+        _allclose(out.sampler_dist.logvar, sdist_ref.logvar, atol=5e-4)
 
         # losses (NBA branch): totals and per-term values
         div_cfg = {"weight": 1.0, "scale": 1.0}
