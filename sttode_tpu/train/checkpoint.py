@@ -83,6 +83,9 @@ def load_checkpoint(path: str, *, template: Any | None = None):
     """Restore (params, opt_state, epoch, cfg). ``template`` (a matching
     pytree of arrays) restores exact dtypes/structure; without it orbax's
     saved metadata is used."""
+    # orbax/tensorstore requires absolute paths; save() absolutizes, restore
+    # must too (caught by the CLI workflow run with a relative --ckpt_dir)
+    path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     template_complete = template is not None and all(
         template.get(k) is not None for k in ("params", "opt_state"))
