@@ -118,6 +118,8 @@ def load_reference() -> types.SimpleNamespace:
     _cache["sampler"] = importlib.import_module("sampler")
     _cache["samplerloss"] = importlib.import_module("samplerloss")
     _cache["delta"] = importlib.import_module("hyptorch.delta")
+    _cache["hnn"] = importlib.import_module("hyptorch.nn")
+    _cache["transformerlib"] = importlib.import_module("transformerlib")
     return types.SimpleNamespace(**_cache)
 
 
@@ -138,29 +140,55 @@ def port_layer_norm(mod: nn.LayerNorm) -> dict:
     return {"scale": _np(mod.weight).copy(), "bias": _np(mod.bias).copy()}
 
 
-def port_encoder_layer(tl):
-    """reference hypertransformer.TransformerEncoderLayer → EncoderLayerParams."""
+def port_mhsa(att):
+    """reference Hyp_mhsa / transformerlib.MultiheadAttention (packed
+    projection layout) → MHGSAParams."""
     from sttode_tpu.nn.attention import MHGSAParams
-    from sttode_tpu.nn.transformer import (EncoderLayerParams, FFNParams,
-                                           GatedAttentionParams)
 
-    att = tl.self_attn.temporal_attention_before
-    attn = MHGSAParams(
+    return MHGSAParams(
         in_proj_w=_np(att.in_proj_weight).T.copy(),
         in_proj_b=_np(att.in_proj_bias).copy(),
         out_proj_w=_np(att.out_proj.weight).T.copy(),
         out_proj_b=_np(att.out_proj.bias).copy(),
     )
+
+
+def port_gated(hypatt):
+    """reference Hypattention → GatedAttentionParams."""
+    from sttode_tpu.nn.transformer import GatedAttentionParams
+
+    return GatedAttentionParams(
+        attn=port_mhsa(hypatt.temporal_attention_before),
+        info=port_linear(hypatt.temporal_info),
+        gate=port_linear(hypatt.temporal_gate),
+    )
+
+
+def port_encoder_layer(tl):
+    """reference hypertransformer.TransformerEncoderLayer → EncoderLayerParams."""
+    from sttode_tpu.nn.transformer import EncoderLayerParams, FFNParams
+
     return EncoderLayerParams(
-        self_attn=GatedAttentionParams(
-            attn=attn,
-            info=port_linear(tl.self_attn.temporal_info),
-            gate=port_linear(tl.self_attn.temporal_gate),
-        ),
+        self_attn=port_gated(tl.self_attn),
         ffn=FFNParams(linear1=port_linear(tl.linear1),
                       linear2=port_linear(tl.linear2)),
         norm1=port_layer_norm(tl.norm1),
         norm2=port_layer_norm(tl.norm2),
+    )
+
+
+def port_decoder_layer(tl):
+    """reference hypertransformer.TransformerDecoderLayer → DecoderLayerParams."""
+    from sttode_tpu.nn.transformer import DecoderLayerParams, FFNParams
+
+    return DecoderLayerParams(
+        self_attn=port_gated(tl.self_attn),
+        cross_attn=port_gated(tl.cross_attn),
+        ffn=FFNParams(linear1=port_linear(tl.linear1),
+                      linear2=port_linear(tl.linear2)),
+        norm1=port_layer_norm(tl.norm1),
+        norm2=port_layer_norm(tl.norm2),
+        norm3=port_layer_norm(tl.norm3),
     )
 
 

@@ -416,6 +416,134 @@ class TestFullModelVsReference:
 
 
 # --------------------------------------------------------------------------- #
+# hyperbolic NN toolbox (hyptorch/nn.py)                                      #
+# --------------------------------------------------------------------------- #
+
+class TestHyperbolicNNVsReference:
+    def test_hyperbolic_mlr(self, ref, rng):
+        from sttode_tpu.nn.hyperbolic import hyperbolic_mlr
+
+        mod = ref.hnn.HyperbolicMLR(ball_dim=12, n_classes=5, c=1.0)
+        mod.double()
+        params = {"a_vals": rh._np(mod.a_vals).copy(),
+                  "p_vals": rh._np(mod.p_vals).copy()}
+        x = _ball_points(rng, (9, 12))
+        with torch.no_grad():
+            logits_ref = mod(t(x).double())
+        logits = hyperbolic_mlr(params, jnp.asarray(x), c=1.0)
+        _allclose(logits, logits_ref, atol=1e-5)
+
+    def test_hyp_linear(self, ref, rng):
+        from sttode_tpu.nn.hyperbolic import hyp_linear
+
+        mod = ref.hnn.HypLinear(12, 7, c=1.0)
+        mod.double()
+        p = {"w": rh._np(mod.weight).T.copy(), "b": rh._np(mod.bias).copy()}
+        x = _ball_points(rng, (6, 12))
+        with torch.no_grad():
+            out_ref = mod(t(x).double())
+        _allclose(hyp_linear(p, jnp.asarray(x), c=1.0), out_ref, atol=1e-5)
+
+    def test_concat_poincare(self, ref, rng):
+        from sttode_tpu.nn.hyperbolic import concat_poincare
+
+        mod = ref.hnn.ConcatPoincareLayer(8, 6, 10, c=1.0)
+        mod.double()
+        p = {"l1": {"w": rh._np(mod.l1.weight).T.copy()},
+             "l2": {"w": rh._np(mod.l2.weight).T.copy()}}
+        x1, x2 = _ball_points(rng, (5, 8)), _ball_points(rng, (5, 6))
+        with torch.no_grad():
+            out_ref = mod(t(x1).double(), t(x2).double())
+        _allclose(concat_poincare(p, jnp.asarray(x1), jnp.asarray(x2), c=1.0),
+                  out_ref, atol=1e-5)
+
+    def test_hyperbolic_distance_layer(self, ref, rng):
+        from sttode_tpu.nn.hyperbolic import hyperbolic_distance
+
+        mod = ref.hnn.HyperbolicDistanceLayer(c=1.0)
+        x1, x2 = _ball_points(rng, (6, 12)), _ball_points(rng, (6, 12))
+        with torch.no_grad():
+            out_ref = mod(t(x1), t(x2))
+        _allclose(hyperbolic_distance(jnp.asarray(x1), jnp.asarray(x2), c=1.0),
+                  out_ref, atol=1e-5)
+
+    def test_to_poincare_forward_and_riemannian_grad(self, ref, rng):
+        """ToPoincare with feature clipping; the RiemannianGradient fix scales
+        the BACKWARD by (1-c‖x‖²)²/4 (reference pmath.py:30-45) — assert
+        both value and gradient."""
+        from sttode_tpu.nn.hyperbolic import to_poincare
+
+        mod = ref.hnn.ToPoincare(c=1.0, riemannian=True, clip_r=1.0)
+        x = rng.standard_normal((5, 12)).astype(np.float32)
+        xt = t(x).requires_grad_(True)
+        out_ref = mod(xt)
+        out_ref.sum().backward()
+        out = to_poincare(jnp.asarray(x), c=1.0, clip_r=1.0, riemannian=True)
+        _allclose(out, out_ref, atol=1e-5)
+        g = jax.grad(lambda a: jnp.sum(to_poincare(a, c=1.0, clip_r=1.0,
+                                                   riemannian=True)))(
+            jnp.asarray(x))
+        _allclose(g, xt.grad, atol=1e-4)
+
+    def test_from_poincare(self, ref, rng):
+        from sttode_tpu.nn.hyperbolic import from_poincare
+
+        mod = ref.hnn.FromPoincare(c=1.0)
+        x = _ball_points(rng, (5, 12))
+        with torch.no_grad():
+            out_ref = mod(t(x).double())
+        _allclose(from_poincare(jnp.asarray(x), c=1.0), out_ref, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Euclidean dot-product attention twin (transformerlib.py)                    #
+# --------------------------------------------------------------------------- #
+
+class TestDotAttentionVsReference:
+    def test_self_and_cross(self, ref, rng):
+        from sttode_tpu.nn.dot_attention import dot_mhsa
+
+        E, H = 32, 4
+        mod = ref.transformerlib.MultiheadAttention(E, H)
+        mod.eval()
+        p = rh.port_mhsa(mod)
+        x = rng.standard_normal((6, 5, E)).astype(np.float32)   # [L, B, E]
+        with torch.no_grad():
+            out_ref, _ = mod(t(x), t(x), t(x))
+        xj = jnp.asarray(np.transpose(x, (1, 0, 2)))
+        out, _ = dot_mhsa(p, xj, xj, xj, num_heads=H)
+        _allclose(jnp.transpose(out, (1, 0, 2)), out_ref, atol=3e-5)
+
+        kv = rng.standard_normal((9, 5, E)).astype(np.float32)
+        with torch.no_grad():
+            out_ref, _ = mod(t(x), t(kv), t(kv))
+        kj = jnp.asarray(np.transpose(kv, (1, 0, 2)))
+        out, _ = dot_mhsa(p, xj, kj, kj, num_heads=H)
+        _allclose(jnp.transpose(out, (1, 0, 2)), out_ref, atol=3e-5)
+
+
+# --------------------------------------------------------------------------- #
+# decoder layer (dead in the reference model, implemented both sides)        #
+# --------------------------------------------------------------------------- #
+
+class TestDecoderLayerVsReference:
+    def test_decoder_layer(self, ref, rng):
+        from sttode_tpu.nn.transformer import decoder_layer
+
+        D, H, FF = 32, 8, 64
+        tl = ref.hypertransformer.TransformerDecoderLayer(D, H, FF, 0.0)
+        tl.eval()
+        p = rh.port_decoder_layer(tl)
+        cfg = LayerConfig(d_model=D, num_heads=H, ff_dim=FF, dropout=0.0)
+        tgt = rng.standard_normal((4, 3, 1, D)).astype(np.float32)
+        mem = rng.standard_normal((6, 3, 1, D)).astype(np.float32)
+        with torch.no_grad():
+            out_ref, _, _ = tl(t(tgt), t(mem))
+        out, _, _ = decoder_layer(p, jnp.asarray(tgt), jnp.asarray(mem), cfg)
+        _allclose(out, out_ref, atol=5e-5)
+
+
+# --------------------------------------------------------------------------- #
 # δ-hyperbolicity analysis tool                                               #
 # --------------------------------------------------------------------------- #
 
