@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--ode_steps", type=int, default=1)
     ap.add_argument("--ode_rtol", type=float, default=1e-5)
     ap.add_argument("--ode_atol", type=float, default=1e-7)
+    ap.add_argument("--attn_metric", default="oblique",
+                    choices=("oblique", "poincare"))
+    ap.add_argument("--curvature", type=float, default=1.0)
     args = ap.parse_args()
 
     train = make_social_scenes(args.train_scenes, seed=0)
@@ -60,7 +63,11 @@ def main():
                        ode_method=args.ode_method,
                        ode_adjoint=args.ode_adjoint,
                        ode_steps=args.ode_steps,
-                       ode_rtol=args.ode_rtol, ode_atol=args.ode_atol)
+                       ode_rtol=args.ode_rtol, ode_atol=args.ode_atol,
+                       attn_metric=args.attn_metric,
+                       curvature=args.curvature,
+                       attn_impl="dense" if args.attn_metric == "poincare"
+                       else "auto")
 
     key = jax.random.PRNGKey(0)
     key, k_init = jax.random.split(key)
@@ -93,6 +100,8 @@ def main():
 
     total_min = (time.time() - t_start) / 60
     ode_desc = args.ode_method
+    if args.attn_metric != "oblique":
+        ode_desc = f"metric={args.attn_metric}(c={args.curvature:g}), " + ode_desc
     if args.ode_method == "dopri5":
         ode_desc += f"(rtol={args.ode_rtol:g}, atol={args.ode_atol:g})"
     elif args.ode_steps > 1:

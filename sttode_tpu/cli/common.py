@@ -72,6 +72,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(the paper's framing)")
     p.add_argument("--curvature", type=float, default=1.0,
                    help="Poincare ball curvature c (attn_metric=poincare)")
+    p.add_argument("--loss_terms", default="pred,recover,kl,diverse",
+                   help="comma-separated subset of pred,recover,kl,diverse; "
+                        "'pred,recover,kl' is the VAE-only objective the "
+                        "reference's broken trainvae.py intended (dropping "
+                        "diverse also skips the K-sample decode)")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--scan_steps", type=int, default=1,
                    help="optimizer steps fused into one device dispatch via "
@@ -103,6 +108,9 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         attn_impl=getattr(args, "attn_impl", "auto"),
         attn_metric=getattr(args, "attn_metric", "oblique"),
         curvature=getattr(args, "curvature", 1.0),
+        loss_terms=tuple(
+            t for t in getattr(args, "loss_terms",
+                               "pred,recover,kl,diverse").split(",") if t),
     )
 
 

@@ -87,6 +87,13 @@ class STTODEConfig(NamedTuple):
                                     # traffic — measured 88% of v5e bandwidth
                                     # at fp32) while accumulating fp32;
                                     # attention Gram/losses stay fp32
+    loss_terms: tuple = ("pred", "recover", "kl", "diverse")
+                                    # which loss terms enter the total —
+                                    # ("pred","recover","kl") is the
+                                    # VAE-only objective the reference's
+                                    # broken trainvae.py intended; dropping
+                                    # "diverse" also skips the K-sample
+                                    # decode entirely
     diverse_grad: str = "sparse"    # best-of-K gradient strategy: "sparse"
                                     # selects the winning sample with a
                                     # gradient-free K-decode and recomputes
@@ -124,6 +131,9 @@ class STTODEConfig(NamedTuple):
         assert self.curvature > 0.0, self.curvature
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad
+        allowed = {"pred", "recover", "kl", "diverse"}
+        assert self.loss_terms and set(self.loss_terms) <= allowed, \
+            f"loss_terms must be a non-empty subset of {allowed}"
         return self
 
 
@@ -475,6 +485,16 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     l_recover = loss_pred(recover_traj, batch.past, B, valid)
     l_kl = loss_kl(qz, pz, B, N, cfg.min_clip, valid)
 
+    if "diverse" not in cfg.loss_terms:
+        # VAE-only objective (the reference trainvae.py intent): no K-sample
+        # decode at all — the dominant FLOPs of the step vanish with it
+        zeros_k = jnp.zeros((M, K, cfg.future_length, 2), pred_traj.dtype)
+        total = sum({"pred": l_pred, "recover": l_recover,
+                     "kl": l_kl}[name] for name in cfg.loss_terms)
+        return ForwardOutput(total, l_pred, l_recover, l_kl,
+                             jnp.zeros((), pred_traj.dtype), qz, pz,
+                             past_feature, pred_traj, zeros_k)
+
     # best-of-K diverse decode from the (repeated) prior
     past_feature_k = jnp.repeat(past_feature, K, axis=0)
     pz_k = prior(params, cfg, past_feature_k)
@@ -514,7 +534,9 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         diverse = diverse.reshape(M, K, cfg.future_length, 2)
         l_div = loss_diverse(diverse, batch.future, valid)
 
-    total = l_pred + l_recover + l_kl + l_div
+    terms = {"pred": l_pred, "recover": l_recover, "kl": l_kl,
+             "diverse": l_div}
+    total = sum(terms[name] for name in cfg.loss_terms)
     return ForwardOutput(total, l_pred, l_recover, l_kl, l_div, qz, pz,
                          past_feature, pred_traj, diverse)
 

@@ -78,6 +78,19 @@ def test_full_two_stage_pipeline(workspace):
 
 
 @pytest.mark.e2e
+def test_trainvae_cli(workspace):
+    """cli.trainvae — the working replacement for the reference's unrunnable
+    trainvae.py: VAE-only objective (no diverse term / K-decode)."""
+    from sttode_tpu.cli import trainvae as trainvae_cli
+
+    io_args = ["--data_root", workspace["data_root"],
+               "--ckpt_dir", workspace["ckpt_dir"] + "_vae"]
+    trainvae_cli.main(COMMON + io_args + ["--num_epochs", "1",
+                                          "--model_save_epoch", "1",
+                                          "--log_every", "5"])
+    assert os.path.isdir(os.path.join(workspace["ckpt_dir"] + "_vae", "eth"))
+
+
 def test_resume_from_checkpoint(workspace):
     from sttode_tpu.cli import train as train_cli
     io_args = ["--data_root", workspace["data_root"],

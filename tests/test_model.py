@@ -47,6 +47,25 @@ class TestForward:
         # so the floored value is exactly min_clip (quirk Q5 semantics)
         assert float(out.loss_kl) >= cfg.min_clip - 1e-6
 
+    def test_vae_only_loss_terms(self, rng):
+        """loss_terms=('pred','recover','kl') — the trainvae objective: total
+        excludes diverse, the K-decode is skipped (diverse outputs zero),
+        gradients flow."""
+        cfg = tiny_cfg(loss_terms=("pred", "recover", "kl")).validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(1)
+        out = sttode_forward(params, cfg, batch, key)
+        np.testing.assert_allclose(
+            float(out.total_loss),
+            float(out.loss_pred + out.loss_recover + out.loss_kl), rtol=1e-6)
+        assert float(out.loss_diverse) == 0.0
+        assert float(jnp.abs(out.diverse_pred).max()) == 0.0
+        g = jax.grad(lambda p: sttode_forward(p, cfg, batch, key).total_loss)(
+            params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
     def test_poincare_metric_full_model(self, rng):
         """attn_metric='poincare' (the paper's MHGSA framing, never wired in
         by the reference): full forward runs, differs from the oblique
