@@ -62,9 +62,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "step's dominant HBM traffic) with fp32 accumulate; "
                         "attention Gram / losses stay fp32")
     p.add_argument("--attn_impl", default="auto",
-                   choices=("auto", "dense", "fused", "flash", "ring"),
-                   help="attention kernel route; 'ring' = sequence-parallel "
-                        "shard_map over the mesh's data axis")
+                   choices=("auto", "dense", "fused", "flash", "ring",
+                            "ulysses"),
+                   help="attention kernel route; 'ring'/'ulysses' = the two "
+                        "sequence-parallel shard_map paths over the mesh's "
+                        "data axis (K/V ppermute ring vs head<->token "
+                        "all-to-all)")
     p.add_argument("--attn_metric", default="oblique",
                    choices=("oblique", "poincare"),
                    help="MHGSA distance metric: oblique unit-sphere (the "

@@ -67,9 +67,12 @@ class STTODEConfig(NamedTuple):
     compat: str = "reference"     # score orientation + mask handling (Q2/Q3)
     attn_axis: str = "scene"      # "scene" (reference, Q4) | "agent"
     attn_impl: str = "auto"       # attention kernel route: "auto" | "dense" |
-                                  # "fused" | "flash" (Pallas) | "ring"
-                                  # (sequence-parallel shard_map over the
-                                  # mesh's "data" axis; pass mesh= through
+                                  # "fused" | "flash" (Pallas) | "ring" |
+                                  # "ulysses" (the sequence-parallel
+                                  # shard_map paths over the mesh's "data"
+                                  # axis — ring rotates K/V shards via
+                                  # ppermute, ulysses all-to-alls heads
+                                  # against tokens; pass mesh= through
                                   # sttode_forward / make_train_step)
     attn_metric: str = "oblique"  # "oblique" (reference live path) |
                                   # "poincare" (the paper's MHGSA framing:
@@ -120,13 +123,13 @@ class STTODEConfig(NamedTuple):
             "attn_axis='agent' requires compat='tpu' (see _encode_trunk)"
         assert self.ode_method in ("euler", "midpoint", "rk4", "dopri5"), \
             self.ode_method
-        assert self.attn_impl in ("auto", "dense", "fused", "flash", "ring"), \
-            self.attn_impl
+        assert self.attn_impl in ("auto", "dense", "fused", "flash", "ring",
+                                  "ulysses"), self.attn_impl
         assert self.compute_dtype in ("float32", "bfloat16"), \
             self.compute_dtype
         assert self.attn_metric in ("oblique", "poincare"), self.attn_metric
         assert not (self.attn_metric == "poincare" and self.attn_impl
-                    in ("fused", "flash", "ring")), \
+                    in ("fused", "flash", "ring", "ulysses")), \
             "poincare metric runs on the jnp path: use attn_impl auto/dense"
         assert self.curvature > 0.0, self.curvature
         assert self.ode_steps >= 1 and self.sample_k >= 1
@@ -285,10 +288,10 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
         mask = None
     else:
         tokens = jnp.transpose(x, (1, 0, 2))[:, :, None, :]    # [L=N, B, 1, D]
-        if cfg.attn_impl == "ring":
-            # the ring path consumes per-key validity directly (its only mask
-            # form); the agent-axis additive mask is exactly that, so no
-            # expressiveness is lost
+        if cfg.attn_impl in ("ring", "ulysses"):
+            # the sequence-parallel paths consume per-key validity directly
+            # (their only mask form); the agent-axis additive mask is exactly
+            # that, so no expressiveness is lost
             mask = None
             kv_valid = valid.reshape(B, N)                     # [B, N]
         else:
@@ -463,8 +466,8 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     """Full CVAE training step forward (reference STTODENet.forward,
     model/STTODE.py:553-568): posterior decode + KL + best-of-K diverse loss.
 
-    ``mesh`` is only consumed by ``attn_impl="ring"`` (sequence-parallel
-    attention); every other route ignores it."""
+    ``mesh`` is only consumed by ``attn_impl="ring"``/``"ulysses"``
+    (sequence-parallel attention); every other route ignores it."""
     k_enc, k_fenc, k_q, k_p = jax.random.split(rng, 4)
     B, N = batch.batch_size, batch.agent_num
     M = B * N

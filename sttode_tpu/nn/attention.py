@@ -174,7 +174,10 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     crossover and VMEM ceiling (see `_kernel_route`), "ring" the
     sequence-parallel shard_map path (requires ``mesh``; the token axes shard
     over ``mesh[ring_axis]`` and K/V shards rotate via ppermute with
-    online-softmax accumulation — SURVEY.md §2.6 SP/CP). Both compat
+    online-softmax accumulation — SURVEY.md §2.6 SP/CP), "ulysses" the
+    all-to-all sequence-parallel path (heads scatter against tokens, dense
+    local attention, all-to-all back; requires ``mesh``, an explicit head axis
+    [..., H, L, Dh], and head count divisible by the axis size). Both compat
     orientations are served by all kernels — the reference's transposed square
     case (quirk Q3) is the kernel with q/k swapped.
 
@@ -182,6 +185,37 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     the ring path supports (padding, not arbitrary additive biases).
     """
     dropout_active = (not deterministic) and dropout_rate > 0.0
+    if fused == "ulysses":
+        if metric != "oblique":
+            raise ValueError("ulysses attention implements the oblique metric "
+                             "only; use attn_impl='dense'/'auto' with "
+                             "metric='poincare'")
+        if mesh is None:
+            raise ValueError("attn_impl='ulysses' needs a mesh — pass it "
+                             "through sttode_forward(..., mesh=) / "
+                             "make_train_step")
+        if mask is not None:
+            raise ValueError("ulysses path supports key-validity masks only; "
+                             "pass kv_valid instead of an additive mask")
+        if q.ndim < 4:
+            raise ValueError("ulysses attention needs an explicit head axis: "
+                             "q/k/v must be [..., H, L, Dh]")
+        from sttode_tpu.parallel.ulysses import ulysses_geodesic_attention
+        *batch, H, L, Dh = q.shape
+        S = k.shape[-2]
+        square = L == S
+        qq, kk = (k, q) if (compat == "reference" and square) else (q, k)
+        B = 1
+        for d in batch:
+            B *= d
+        val = None
+        if kv_valid is not None:
+            # kv_valid carries no head axis: broadcast over the batch dims only
+            val = jnp.broadcast_to(kv_valid, (*batch, S)).reshape(B, S)
+        out = ulysses_geodesic_attention(
+            qq.reshape(B, H, L, Dh), kk.reshape(B, H, S, Dh),
+            v.reshape(B, H, S, Dh), mesh, axis=ring_axis, kv_valid=val)
+        return out.reshape(*batch, H, L, Dh), None
     if fused == "ring":
         if metric != "oblique":
             raise ValueError("ring attention implements the oblique metric "

@@ -126,8 +126,8 @@ class LayerConfig(NamedTuple):
     model/STTODE.py:190-195: d_model=64, nhead=8, ff_dim=1024, dropout=0).
 
     ``attn_impl`` routes the attention core: "auto" (measured crossover),
-    "dense" (jnp/XLA), "fused"/"flash" (Pallas kernels), "ring"
-    (sequence-parallel shard_map — needs a mesh threaded through the call)."""
+    "dense" (jnp/XLA), "fused"/"flash" (Pallas kernels), "ring" / "ulysses"
+    (sequence-parallel shard_map — need a mesh threaded through the call)."""
     d_model: int = 64
     num_heads: int = 8
     ff_dim: int = 1024
@@ -142,7 +142,7 @@ class LayerConfig(NamedTuple):
 
 
 _ATTN_IMPL_TO_FUSED = {"auto": "auto", "dense": False, "fused": True,
-                       "flash": "flash", "ring": "ring"}
+                       "flash": "flash", "ring": "ring", "ulysses": "ulysses"}
 
 
 def _ffn_init(key, d_model: int, ff_dim: int, dtype=jnp.float32) -> FFNParams:

@@ -1,5 +1,6 @@
-"""Parallelism (SPMD): mesh construction, DP/TP sharding rules, and the
-sequence-parallel ring-attention demonstrator."""
+"""Parallelism (SPMD): mesh construction, DP/TP sharding rules, and the two
+sequence-parallel attention decompositions (ring/ppermute and
+Ulysses/all-to-all)."""
 
 from sttode_tpu.parallel.mesh import (
     batch_sharding,
