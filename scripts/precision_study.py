@@ -16,7 +16,11 @@ Run on the TPU box: ``python scripts/precision_study.py``.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -70,8 +74,41 @@ def main():
         ref = oracle_fp64(q, k, v)
         scale = np.abs(ref).max()
         flops = 2 * B * L * L * (2 * Dh + 1)
-        for prec in ("HIGHEST", "HIGH", "DEFAULT"):
-            mhgsa._PRECISION = getattr(jax.lax.Precision, prec)
+        orig_dot = mhgsa._dot
+
+        def dot_bf16x3(a, b, dims):
+            """3-pass f32-from-bf16 dot (drops the lo·lo term): the manual
+            equivalent of Precision.HIGH, which Mosaic does not lower."""
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def d(x, y):
+                return jax.lax.dot_general(
+                    x, y, (dims, ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+        def dot_gram3(a, b, dims):
+            """bf16x3 only for the Gram (contracting dim 1 vs 1); HIGHEST for
+            the AV/probability matmuls."""
+            if dims == ((1,), (1,)):
+                return dot_bf16x3(a, b, dims)
+            return orig_dot(a, b, dims)
+
+        for prec in ("HIGHEST", "BF16x3", "GRAM3", "DEFAULT"):
+            if prec == "BF16x3":
+                mhgsa._dot = dot_bf16x3
+                mhgsa._PRECISION = jax.lax.Precision.DEFAULT
+            elif prec == "GRAM3":
+                mhgsa._dot = dot_gram3
+                mhgsa._PRECISION = jax.lax.Precision.HIGHEST
+            else:
+                mhgsa._dot = orig_dot
+                mhgsa._PRECISION = getattr(jax.lax.Precision, prec)
 
             @jax.jit
             def run(q, k, v):
@@ -84,6 +121,7 @@ def main():
             results.append((B, L, Dh, prec, err, dt * 1e6, tfs))
             print(f"B{B} L{L} Dh{Dh} {prec:8s}  rel_err={err:.2e}  "
                   f"{dt*1e6:8.1f} us  {tfs:6.2f} TF/s", flush=True)
+        mhgsa._dot = orig_dot
     mhgsa._PRECISION = jax.lax.Precision.HIGHEST
     return results
 

@@ -259,6 +259,47 @@ def dist_matrix(x: jnp.ndarray, y: jnp.ndarray, c: float = 1.0) -> jnp.ndarray:
     return 2 / sqrt_c * artanh(sqrt_c * n)
 
 
+def dist_matrix_gram(x: jnp.ndarray, y: jnp.ndarray, *,
+                     c: float = 1.0) -> jnp.ndarray:
+    """All-pairs Poincaré geodesic distance over the trailing two dims WITHOUT
+    materializing the [L, S, D] Möbius sums (``dist_matrix`` /
+    ``mobius_addition_batch`` build that tensor — reference pmath.py:416-427 —
+    which is O(L·S·D) memory and pure VPU work).
+
+    Derivation (Ungar's gyrodistance identity, verifiable by expanding the
+    Möbius sum): with g = <x,y>, x2 = ‖x‖², y2 = ‖y‖²,
+
+        ‖−x ⊕_c y‖² = ‖x − y‖² / den,   den = 1 − 2c·g + c²·x2·y2
+
+    and ‖x − y‖² = x2 − 2g + y2 — one MXU Gram matmul plus an O(L·S)
+    epilogue, the exact structure of the oblique acos kernel. The reference's
+    ``+1e-5`` denominator convention (pmath.py:177) is reproduced as
+    ``den/(den+ε)²``.
+
+    Accuracy note (measured, fp32): recovering ‖x−y‖² from the Gram cancels
+    for close pairs, so small distances carry absolute error growing toward
+    the boundary — typically ~1e-3–2.5e-3 max over random near-boundary
+    batches (across seeds), up to ~0.13 for artanh-saturated *coincident*
+    points — where the pairs form stays ~1e-5. Post-softmax this is
+    negligible: the affected entries are the already-dominant near-zero
+    distances; max softmax-weight deviation vs the pairs form measured
+    ≤ 5e-4 across mid-ball and saturated scales (tests lock this in). Use
+    ``dist_matrix`` when exact near-coincident distances matter and [L,S,D]
+    memory is affordable.
+
+    x [..., L, D], y [..., S, D] → [..., L, S].
+    """
+    g = jnp.einsum("...ld,...sd->...ls", x, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    x2 = jnp.sum(x * x, axis=-1)[..., :, None]
+    y2 = jnp.sum(y * y, axis=-1)[..., None, :]
+    den = 1 - 2 * c * g + c * c * x2 * y2
+    n2 = jnp.maximum(x2 - 2 * g + y2, 0.0) * den / (den + _DENOM_EPS) ** 2
+    n = jnp.sqrt(n2 + 1e-15)
+    sqrt_c = c ** 0.5
+    return 2 / sqrt_c * artanh(sqrt_c * n)
+
+
 def auto_select_c(d: int) -> float:
     """Curvature giving a d-ball of constant volume π (reference pmath.py:496-505)."""
     dim2 = d / 2.0

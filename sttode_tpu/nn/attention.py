@@ -102,8 +102,10 @@ def geodesic_scores(q: jnp.ndarray, k: jnp.ndarray, *,
         from sttode_tpu.manifolds import pmath
         qb = pmath.project(pmath.expmap0(q, c=curvature), c=curvature)
         kb = pmath.project(pmath.expmap0(k, c=curvature), c=curvature)
-        # pairwise Möbius geodesic distances via broadcasting
-        d = pmath.dist(qb[..., :, None, :], kb[..., None, :, :], c=curvature)
+        # pairwise Möbius geodesic distances via the Gram closed form: one
+        # MXU matmul + O(L·S) epilogue instead of broadcasting [L, S, D]
+        # Möbius sums (pmath.dist_matrix_gram docstring has the derivation)
+        d = pmath.dist_matrix_gram(qb, kb, c=curvature)
         if compat == "reference" and q.shape[-2] == k.shape[-2]:
             d = jnp.swapaxes(d, -1, -2)   # match the Q3 orientation
         return -d

@@ -176,6 +176,56 @@ class TestPoincare:
                     dm[i, j], float(pmath.dist(x[i], y[j])), atol=1e-4,
                     rtol=1e-3)
 
+    def test_dist_matrix_gram_matches_pairs(self, rng):
+        """Gram closed form == materialized Möbius-pairs oracle, values and
+        gradients, for several curvatures."""
+        x = pmath.project(_rand(rng, 6, 4) * 0.4)
+        y = pmath.project(_rand(rng, 9, 4) * 0.4)
+        for c in (0.5, 1.0, 2.0):
+            fast = np.asarray(pmath.dist_matrix_gram(x, y, c=c))
+            ref = np.asarray(pmath.dist_matrix(x, y, c=c))
+            # atol per the documented cancellation bound: near-coincident
+            # pairs can deviate ~1e-3 absolute (seed-dependent); distant
+            # pairs agree to ~1e-5
+            np.testing.assert_allclose(fast, ref, atol=2e-3, rtol=1e-3)
+
+            def loss_fast(x, y):
+                return jnp.sum(jnp.sin(pmath.dist_matrix_gram(x, y, c=c)))
+
+            def loss_ref(x, y):
+                return jnp.sum(jnp.sin(pmath.dist_matrix(x, y, c=c)))
+
+            gf = jax.grad(loss_fast, argnums=(0, 1))(x, y)
+            gr = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+            for a, b in zip(gf, gr):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=5e-3, rtol=5e-3)
+
+    def test_dist_matrix_gram_batched_and_self(self, rng):
+        """Leading batch dims broadcast; the self-distance diagonal is small
+        (the documented Gram-cancellation bound, not exactly 0) and its
+        gradient is finite."""
+        x = pmath.project(_rand(rng, 2, 3, 5, 4) * 0.3)
+        d = pmath.dist_matrix_gram(x, x)
+        assert d.shape == (2, 3, 5, 5)
+        diag = np.asarray(jnp.diagonal(d, axis1=-2, axis2=-1))
+        np.testing.assert_allclose(diag, 0.0, atol=5e-3)
+        g = jax.grad(lambda x: jnp.sum(pmath.dist_matrix_gram(x, x)))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_dist_matrix_gram_softmax_deviation_bounded(self, rng):
+        """The property the attention path relies on: even for boundary-
+        saturated points (where the docstring's cancellation note applies),
+        softmax over the Gram-form scores deviates from the pairs form by
+        < 2e-3 per weight."""
+        for scale in (0.3, 3.0):
+            q = pmath.project(pmath.expmap0(_rand(rng, 48, 8) * scale))
+            fast = pmath.dist_matrix_gram(q, q)
+            pairs = pmath.dist(q[:, None, :], q[None, :, :])
+            w_f = jax.nn.softmax(-fast, axis=-1)
+            w_p = jax.nn.softmax(-pairs, axis=-1)
+            assert float(jnp.abs(w_f - w_p).max()) < 2e-3
+
     def test_poincare_mean_of_identical_points(self, rng):
         p = pmath.project(_rand(rng, 1, 4) * 0.3)
         stack = jnp.tile(p, (5, 1))

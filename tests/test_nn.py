@@ -225,6 +225,25 @@ class TestPoincareMetricAttention:
         s = geodesic_scores(x, x, compat="tpu", metric="poincare")
         np.testing.assert_allclose(np.asarray(jnp.diag(s)), 0.0, atol=1e-3)
 
+    def test_poincare_scores_match_broadcast_pairs(self, rng):
+        """The Gram closed form the score path now uses must equal the
+        original broadcasted Möbius-pairs computation (incl. Q3 compat)."""
+        from sttode_tpu.manifolds import pmath
+        q = jnp.asarray(rng.standard_normal((2, 6, 8)) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 6, 8)) * 0.5, jnp.float32)
+        for c in (0.4, 1.0):
+            for compat in ("tpu", "reference"):
+                s = geodesic_scores(q, k, compat=compat, metric="poincare",
+                                    curvature=c)
+                qb = pmath.project(pmath.expmap0(q, c=c), c=c)
+                kb = pmath.project(pmath.expmap0(k, c=c), c=c)
+                d = pmath.dist(qb[..., :, None, :], kb[..., None, :, :], c=c)
+                if compat == "reference":      # square → transposed (Q3)
+                    d = jnp.swapaxes(d, -1, -2)
+                # tolerance per the documented Gram-cancellation bound
+                np.testing.assert_allclose(np.asarray(s), np.asarray(-d),
+                                           atol=5e-3, rtol=1e-3)
+
     def test_poincare_attention_grads(self, rng):
         from sttode_tpu.nn.attention import geodesic_attention
         q = jnp.asarray(rng.standard_normal((2, 4, 8)) * 0.3, jnp.float32)
