@@ -129,8 +129,9 @@ class STTODEConfig(NamedTuple):
             self.compute_dtype
         assert self.attn_metric in ("oblique", "poincare"), self.attn_metric
         assert not (self.attn_metric == "poincare" and self.attn_impl
-                    in ("fused", "flash", "ring", "ulysses")), \
-            "poincare metric runs on the jnp path: use attn_impl auto/dense"
+                    in ("fused", "flash")), \
+            "poincare metric has no Pallas kernel: use attn_impl " \
+            "auto/dense (Gram closed form) or ring/ulysses (sequence-parallel)"
         assert self.curvature > 0.0, self.curvature
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad

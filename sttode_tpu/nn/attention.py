@@ -188,10 +188,6 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     """
     dropout_active = (not deterministic) and dropout_rate > 0.0
     if fused == "ulysses":
-        if metric != "oblique":
-            raise ValueError("ulysses attention implements the oblique metric "
-                             "only; use attn_impl='dense'/'auto' with "
-                             "metric='poincare'")
         if mesh is None:
             raise ValueError("attn_impl='ulysses' needs a mesh — pass it "
                              "through sttode_forward(..., mesh=) / "
@@ -216,13 +212,10 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             val = jnp.broadcast_to(kv_valid, (*batch, S)).reshape(B, S)
         out = ulysses_geodesic_attention(
             qq.reshape(B, H, L, Dh), kk.reshape(B, H, S, Dh),
-            v.reshape(B, H, S, Dh), mesh, axis=ring_axis, kv_valid=val)
+            v.reshape(B, H, S, Dh), mesh, axis=ring_axis, kv_valid=val,
+            metric=metric, curvature=curvature)
         return out.reshape(*batch, H, L, Dh), None
     if fused == "ring":
-        if metric != "oblique":
-            raise ValueError("ring attention implements the oblique metric "
-                             "only; use attn_impl='dense'/'auto' with "
-                             "metric='poincare'")
         if mesh is None:
             raise ValueError("attn_impl='ring' needs a mesh — pass it through "
                              "sttode_forward(..., mesh=) / make_train_step")
@@ -245,7 +238,8 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             val = jnp.broadcast_to(kvv, (*lead, S)).reshape(B, S)
         out = ring_geodesic_attention(
             qq.reshape(B, L, Dh), kk.reshape(B, S, Dh), v.reshape(B, S, Dh),
-            mesh, axis=ring_axis, kv_valid=val)
+            mesh, axis=ring_axis, kv_valid=val, metric=metric,
+            curvature=curvature)
         return out.reshape(*lead, L, Dh), None
     if kv_valid is not None and mask is None:
         neg = jnp.asarray(jnp.finfo(q.dtype).min, q.dtype)

@@ -26,8 +26,19 @@ from sttode_tpu.manifolds import oblique
 NEG_INF = -1e30
 
 
-def _block_scores(q, k):
-    """-acos geodesic scores for one block: [B, L, D] × [B, S, D] → [B, L, S]."""
+def _block_scores(q, k, metric: str = "oblique", curvature: float = 1.0):
+    """Negated geodesic scores for one block: [B, L, D] × [B, S, D] →
+    [B, L, S]. Both metrics are per-pair functions of the Gram and row norms,
+    so they stream through blockwise/online softmax identically.
+
+    - "oblique": row-normalize, -acos(q̂·k̂ᵀ) (the reference's live metric).
+    - "poincare": inputs must ALREADY be ball points (the caller applies
+      expmap0+project once, before any ring rotation); scores are the Möbius
+      geodesic distances via the Gram closed form (pmath.dist_matrix_gram).
+    """
+    if metric == "poincare":
+        from sttode_tpu.manifolds import pmath
+        return -pmath.dist_matrix_gram(q, k, c=curvature)
     qn = oblique.proj(q)
     kn = oblique.proj(k)
     g = jnp.einsum("bld,bsd->bls", qn, kn,
@@ -36,9 +47,21 @@ def _block_scores(q, k):
     return -jnp.arccos(jnp.clip(g, -1.0 + eps, 1.0 - eps))
 
 
-def _ring_body(q, k0, v0, axis_name: str, kv_valid0=None):
+def _map_to_ball(x, metric: str, curvature: float):
+    """Apply the poincare input map (expmap0 → project) when needed; identity
+    for the oblique metric (its normalization lives in ``_block_scores``)."""
+    if metric != "poincare":
+        return x
+    from sttode_tpu.manifolds import pmath
+    return pmath.project(pmath.expmap0(x, c=curvature), c=curvature)
+
+
+def _ring_body(q, k0, v0, axis_name: str, kv_valid0=None,
+               metric: str = "oblique", curvature: float = 1.0):
     """Runs inside shard_map: q local [B, L, D]; k0/v0 local KV shard
-    [B, Sb, D]; kv_valid0 [B, Sb] 1/0 marks real tokens of the local shard."""
+    [B, Sb, D]; kv_valid0 [B, Sb] 1/0 marks real tokens of the local shard.
+    For the poincare metric q/k0 are already ball points (mapped once by the
+    wrapper — the rotation only moves shards, never re-maps values)."""
     n = jax.lax.psum(1, axis_name)
     B, L, D = q.shape
     Sb = k0.shape[1]
@@ -49,7 +72,7 @@ def _ring_body(q, k0, v0, axis_name: str, kv_valid0=None):
 
     def step(carry, _):
         k, v, valid, m, l, acc = carry
-        s = _block_scores(q, k)                          # [B, L, Sb]
+        s = _block_scores(q, k, metric, curvature)       # [B, L, Sb]
         s = jnp.where(valid[:, None, :] > 0, s, NEG_INF)
         blk_max = jnp.max(s, axis=-1)                    # [B, L]
         m_new = jnp.maximum(m, blk_max)
@@ -76,18 +99,25 @@ def _ring_body(q, k0, v0, axis_name: str, kv_valid0=None):
 
 def ring_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             mesh: Mesh, *, axis: str = "data",
-                            kv_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                            kv_valid: jnp.ndarray | None = None,
+                            metric: str = "oblique",
+                            curvature: float = 1.0) -> jnp.ndarray:
     """Sequence-parallel MHGSA core over ``mesh[axis]``.
 
     q [B, L, D], k/v [B, S, D] with S divisible by the axis size; the token
     axes of q and k/v are sharded, batch replicated. Returns [B, L, D] sharded
-    like q. Numerics match dense softmax(-acos)·V to fp32 tolerance.
+    like q. Numerics match the dense softmax(scores)·V to fp32 tolerance for
+    both metrics ("oblique" -acos, "poincare" Möbius geodesic distance at
+    curvature c).
     """
     n = mesh.shape[axis]
     assert k.shape[1] % n == 0, f"S={k.shape[1]} must divide over {axis}={n}"
     assert q.shape[1] % n == 0, f"L={q.shape[1]} must divide over {axis}={n}"
 
-    body = functools.partial(_ring_body, axis_name=axis)
+    q = _map_to_ball(q, metric, curvature)
+    k = _map_to_ball(k, metric, curvature)
+    body = functools.partial(_ring_body, axis_name=axis, metric=metric,
+                             curvature=curvature)
     specs_in = (P(None, axis, None), P(None, axis, None), P(None, axis, None))
     if kv_valid is not None:
         fn = jax.shard_map(
@@ -101,9 +131,11 @@ def ring_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return fn(q, k, v)
 
 
-def dense_reference(q, k, v, kv_valid=None):
-    """Unsharded oracle for tests: softmax_j(-acos(q̂·k̂ᵀ))·V."""
-    s = _block_scores(q, k)
+def dense_reference(q, k, v, kv_valid=None, metric="oblique", curvature=1.0):
+    """Unsharded oracle for tests: softmax_j(scores)·V."""
+    q = _map_to_ball(q, metric, curvature)
+    k = _map_to_ball(k, metric, curvature)
+    s = _block_scores(q, k, metric, curvature)
     if kv_valid is not None:
         s = jnp.where(kv_valid[:, None, :] > 0, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)

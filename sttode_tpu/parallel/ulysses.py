@@ -34,13 +34,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sttode_tpu.parallel.ring_attention import _block_scores, NEG_INF
+from sttode_tpu.parallel.ring_attention import (_block_scores, _map_to_ball,
+                                                NEG_INF)
 
 
-def _ulysses_body(q, k, v, axis_name: str, kv_valid=None):
+def _ulysses_body(q, k, v, axis_name: str, kv_valid=None,
+                  metric: str = "oblique", curvature: float = 1.0):
     """Runs inside shard_map. Local shapes: q [B, H, Lb, Dh],
     k/v [B, H, Sb, Dh] (token axes sharded, heads replicated);
-    kv_valid [B, Sb] marks real key tokens of the local shard."""
+    kv_valid [B, Sb] marks real key tokens of the local shard. For the
+    poincare metric q/k are already ball points (mapped by the wrapper)."""
     # scatter heads, gather tokens: [B, H, Lb, Dh] -> [B, H/n, L, Dh]
     def head_to_token(x):
         return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
@@ -52,8 +55,8 @@ def _ulysses_body(q, k, v, axis_name: str, kv_valid=None):
     B, Hn, L, Dh = qh.shape
     S = kh.shape[2]
 
-    s = _block_scores(qh.reshape(B * Hn, L, Dh),
-                      kh.reshape(B * Hn, S, Dh)).reshape(B, Hn, L, S)
+    s = _block_scores(qh.reshape(B * Hn, L, Dh), kh.reshape(B * Hn, S, Dh),
+                      metric, curvature).reshape(B, Hn, L, S)
     if kv_valid is not None:
         valid = jax.lax.all_gather(kv_valid, axis_name, axis=1, tiled=True)
         s = jnp.where(valid[:, None, None, :] > 0, s, NEG_INF)
@@ -68,16 +71,18 @@ def _ulysses_body(q, k, v, axis_name: str, kv_valid=None):
 def ulysses_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray,
                                v: jnp.ndarray, mesh: Mesh, *,
                                axis: str = "data",
-                               kv_valid: jnp.ndarray | None = None
-                               ) -> jnp.ndarray:
+                               kv_valid: jnp.ndarray | None = None,
+                               metric: str = "oblique",
+                               curvature: float = 1.0) -> jnp.ndarray:
     """Sequence-parallel MHGSA core over ``mesh[axis]`` via head↔token
     all-to-all.
 
     q [B, H, L, Dh], k/v [B, H, S, Dh]; H, L and S must all divide over the
     axis size (heads because they shard during the core, tokens because they
     shard at rest). ``kv_valid`` [B, S] (1 = real key token) or None. Returns
-    [B, H, L, Dh] sharded like q. Numerics match dense softmax(-acos)·V to
-    fp32 tolerance.
+    [B, H, L, Dh] sharded like q. Numerics match the dense softmax(scores)·V
+    to fp32 tolerance for both metrics ("oblique" -acos, "poincare" Möbius
+    geodesic distance at curvature c).
     """
     n = mesh.shape[axis]
     H, L, S = q.shape[1], q.shape[2], k.shape[2]
@@ -85,7 +90,10 @@ def ulysses_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray,
     assert L % n == 0, f"L={L} must divide over {axis}={n}"
     assert S % n == 0, f"S={S} must divide over {axis}={n}"
 
-    body = functools.partial(_ulysses_body, axis_name=axis)
+    q = _map_to_ball(q, metric, curvature)
+    k = _map_to_ball(k, metric, curvature)
+    body = functools.partial(_ulysses_body, axis_name=axis, metric=metric,
+                             curvature=curvature)
     spec_tok = P(None, None, axis, None)
     if kv_valid is not None:
         fn = jax.shard_map(

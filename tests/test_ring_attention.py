@@ -52,3 +52,44 @@ class TestRingAttention:
         g_dense = jax.grad(loss_dense)(q)
         np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_dense),
                                    atol=5e-5)
+
+
+class TestRingPoincareMetric:
+    """The poincare metric through the ring decomposition: per-pair Möbius
+    geodesic scores (Gram closed form) stream through the online softmax
+    exactly like the oblique -acos scores."""
+
+    def test_matches_dense(self, rng):
+        mesh = make_mesh(dp=8, tp=1)
+        B, L, S, D = 2, 16, 24, 8
+        q = jnp.asarray(rng.standard_normal((B, L, D)) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, D)) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        out = ring_geodesic_attention(q, k, v, mesh, metric="poincare",
+                                      curvature=0.7)
+        ref = dense_reference(q, k, v, metric="poincare", curvature=0.7)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+        # and it is genuinely a different metric than the oblique default
+        obl = dense_reference(q, k, v)
+        assert not np.allclose(np.asarray(out), np.asarray(obl), atol=1e-3)
+
+    def test_grads_and_padding(self, rng):
+        mesh = make_mesh(dp=8, tp=1)
+        B, L, S, D = 1, 8, 16, 8
+        q = jnp.asarray(rng.standard_normal((B, L, D)) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, D)) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        valid = jnp.ones((B, S)).at[:, -5:].set(0.0)
+
+        def loss_ring(q):
+            return jnp.sum(ring_geodesic_attention(
+                q, k, v, mesh, kv_valid=valid, metric="poincare") ** 2)
+
+        def loss_dense(q):
+            return jnp.sum(dense_reference(
+                q, k, v, kv_valid=valid, metric="poincare") ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_ring)(q)),
+                                   np.asarray(jax.grad(loss_dense)(q)),
+                                   atol=5e-5)

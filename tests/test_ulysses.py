@@ -195,3 +195,34 @@ class TestUlyssesModelIntegration:
         with pytest.raises(ValueError, match="mesh"):
             sttode_forward(params, cfg, batch, jax.random.PRNGKey(3),
                            train=False)
+
+
+class TestUlyssesPoincareMetric:
+    def test_matches_dense(self, rng):
+        """Poincare Möbius-distance scores through the head<->token
+        all-to-all decomposition match the dense oracle."""
+        mesh = make_mesh(dp=8, tp=1)
+        B, H, L, D = 2, 8, 16, 8
+        q = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+        out = ulysses_geodesic_attention(q, k, v, mesh, metric="poincare",
+                                         curvature=0.7)
+        ref = dense_reference(q.reshape(B * H, L, D), k.reshape(B * H, L, D),
+                              v.reshape(B * H, L, D), metric="poincare",
+                              curvature=0.7).reshape(B, H, L, D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_full_model_poincare_ulysses_matches_dense(self, rng):
+        """attn_metric='poincare' + attn_impl='ulysses': full-model loss on
+        the mesh equals the dense single-device run."""
+        mesh = make_mesh(dp=8, tp=1)
+        cfg_u = _cfg(compat="tpu", attn_axis="agent", attn_impl="ulysses",
+                     attn_metric="poincare", curvature=0.5)
+        cfg_dense = cfg_u._replace(attn_impl="dense")
+        batch = _batch(rng, B=2, N=8)
+        params = sttode_init(jax.random.PRNGKey(0), cfg_dense)
+        l_u, _ = _loss_and_grads(cfg_u, params, batch, mesh=mesh)
+        l_d, _ = _loss_and_grads(cfg_dense, params, batch)
+        np.testing.assert_allclose(float(l_u), float(l_d), rtol=2e-5)
