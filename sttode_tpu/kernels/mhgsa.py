@@ -98,15 +98,88 @@ def _normalize_rows_vjp(dxn, xn, norm):
         jnp.maximum(norm, NORM_FLOOR)
 
 
-def _make_fwd_kernel(s_real: int, has_mask: bool):
+# --------------------------------------------------------------------------- #
+# Poincaré-metric epilogue (Gram closed form; see pmath.dist_matrix_gram).    #
+# Inputs are BALL POINTS (the caller applies expmap0→project outside the      #
+# kernel, so that map's autodiff stays in XLA); scores are                    #
+#   s = -(2/√c)·artanh(√c·n),  n² = max(x2-2g+y2, 0)·den/(den+ε)²,            #
+#   den = 1-2c·g+c²·x2·y2                                                     #
+# artanh evaluates from primitives Mosaic lowers (log), with the reference's  #
+# input clamp (pmath.py:19): z ≤ 1-1e-5, gradient passing through the clamp   #
+# exactly like the hand-written torch backward (grad/(1-z_c²)).              #
+# --------------------------------------------------------------------------- #
+
+ARTANH_EPS = 1e-5
+DENOM_EPS = 1e-5
+
+
+def _poincare_pieces(qb, kb, c: float):
+    """Shared fwd recompute: returns (g, x2, y2, m, den, n2, n, zc)."""
+    g = _dot(qb, kb, ((1,), (1,)))                       # [TL, S]
+    x2 = jnp.sum(qb * qb, axis=-1, keepdims=True)        # [TL, 1]
+    y2 = jnp.sum(kb * kb, axis=-1)[None, :]              # [1, S]
+    m = jnp.maximum(x2 - 2.0 * g + y2, 0.0)
+    den = 1.0 - 2.0 * c * g + (c * c) * x2 * y2
+    n2 = m * den / ((den + DENOM_EPS) ** 2)
+    n = jnp.sqrt(n2 + 1e-15)
+    zc = jnp.minimum((c ** 0.5) * n, 1.0 - ARTANH_EPS)
+    return g, x2, y2, m, den, n2, n, zc
+
+
+def _poincare_scores(qb, kb, c: float, s_real: int, col_offset: int = 0):
+    *_, zc = _poincare_pieces(qb, kb, c)
+    sqrt_c = c ** 0.5
+    s = -(2.0 / sqrt_c) * 0.5 * jnp.log((1.0 + zc) / (1.0 - zc))
+    col = col_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < s_real, s, NEG_INF)
+
+
+def _poincare_bwd_terms(qb, kb, ds, c: float):
+    """Hand-derived VJP of the poincare score epilogue.
+
+    Given ds = dL/dscores [TL, S], returns (dq_tile [TL, Dp],
+    dk_part [S, Dp]) where dk_part is this q-tile's complete additive
+    contribution to dk (no cross-tile fixup needed: the y2 chain term
+    2·dy2ᵀ⊙kb is linear in the per-tile column sums, so per-tile
+    contributions just add).
+
+    Chain: s = -(2/√c)·artanh(clip(√c·n)) ⇒ ds/dn = -2/(1-z_c²);
+    dn/dn² = 1/(2n); n² = m·den/(den+ε)² with m = relu(x2-2g+y2) ⇒
+       ∂n²/∂m = den/(den+ε)²,   ∂n²/∂den = m·(ε-den)/(den+ε)³
+       ∂m/∂g = -2·gate, ∂m/∂x2 = ∂m/∂y2 = gate
+       ∂den/∂g = -2c,  ∂den/∂x2 = c²y2, ∂den/∂y2 = c²x2
+    and finally dq = dg·kb + 2·dx2⊙qb, dk = dgᵀ·qb + 2·dy2ᵀ⊙kb (from
+    x2 = Σ qb², y2 = Σ kb²).
+    """
+    g, x2, y2, m, den, n2, n, zc = _poincare_pieces(qb, kb, c)
+    dn = ds * (-2.0 / jnp.maximum(1.0 - zc * zc, 1e-12))      # [TL, S]
+    dn2 = dn * (0.5 / n)
+    dA = den / ((den + DENOM_EPS) ** 2)                        # ∂n²/∂m
+    dB = m * (DENOM_EPS - den) / ((den + DENOM_EPS) ** 3)      # ∂n²/∂den
+    gate = jnp.where(x2 - 2.0 * g + y2 > 0.0, 1.0, 0.0)
+    dg = dn2 * (dA * (-2.0 * gate) + dB * (-2.0 * c))
+    dx2 = jnp.sum(dn2 * (dA * gate + dB * (c * c) * y2),
+                  axis=1, keepdims=True)                       # [TL, 1]
+    dy2 = jnp.sum(dn2 * (dA * gate + dB * (c * c) * x2),
+                  axis=0)[:, None]                             # [S, 1]
+    dq_tile = _dot(dg, kb, ((1,), (0,))) + 2.0 * dx2 * qb
+    dk_part = _dot(dg, qb, ((0,), (0,))) + 2.0 * dy2 * kb
+    return dq_tile, dk_part
+
+
+def _make_fwd_kernel(s_real: int, has_mask: bool, metric: str = "oblique",
+                     curvature: float = 1.0):
     def kernel(q_ref, k_ref, v_ref, *rest):
         if has_mask:
             mask_ref, o_ref = rest
         else:
             (o_ref,) = rest
-        qn, _ = _normalize_rows(q_ref[0])
-        kn, _ = _normalize_rows(k_ref[0])
-        _, _, s = _scores(qn, kn, s_real)
+        if metric == "poincare":
+            s = _poincare_scores(q_ref[0], k_ref[0], curvature, s_real)
+        else:
+            qn, _ = _normalize_rows(q_ref[0])
+            kn, _ = _normalize_rows(k_ref[0])
+            _, _, s = _scores(qn, kn, s_real)
         if has_mask:
             s = s + mask_ref[0]
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -116,11 +189,14 @@ def _make_fwd_kernel(s_real: int, has_mask: bool):
     return kernel
 
 
-def _make_bwd_kernel(s_real: int, has_mask: bool):
+def _make_bwd_kernel(s_real: int, has_mask: bool, metric: str = "oblique",
+                     curvature: float = 1.0):
     """Backward, tiled over q-rows (grid dim 1). dq is per-tile; dk̂/dv
     accumulate across the sequential TPU grid into full-S output blocks
-    (initialized at tile 0). The k-side normalization VJP needs the COMPLETE
-    dk̂ sum, so it is applied outside the kernel on the accumulated dkn."""
+    (initialized at tile 0). Oblique: the k-side normalization VJP needs the
+    COMPLETE dk̂ sum, so it is applied outside the kernel on the accumulated
+    dkn. Poincaré: per-tile dk contributions are already complete
+    (``_poincare_bwd_terms``), the accumulated buffer IS dk."""
     def kernel(q_ref, k_ref, v_ref, *rest):
         if has_mask:
             mask_ref, do_ref, dq_ref, dkn_ref, dv_ref, dmask_ref = rest
@@ -128,9 +204,12 @@ def _make_bwd_kernel(s_real: int, has_mask: bool):
             do_ref, dq_ref, dkn_ref, dv_ref = rest
         i = pl.program_id(1)
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        qn, q_norm = _normalize_rows(q)
-        kn, _ = _normalize_rows(k)
-        g, gc, s = _scores(qn, kn, s_real)
+        if metric == "poincare":
+            s = _poincare_scores(q, k, curvature, s_real)
+        else:
+            qn, q_norm = _normalize_rows(q)
+            kn, _ = _normalize_rows(k)
+            g, gc, s = _scores(qn, kn, s_real)
         if has_mask:
             s = s + mask_ref[0]
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -142,13 +221,18 @@ def _make_bwd_kernel(s_real: int, has_mask: bool):
         if has_mask:
             # the mask enters additively in the scores: dL/dmask = ds
             dmask_ref[0] = ds
-        inside = jnp.abs(g) < (1.0 - EPS)
-        dg = jnp.where(inside, ds * jax.lax.rsqrt(
-            jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)         # [TL, S]
-        dq_ref[0] = _normalize_rows_vjp(_dot(dg, kn, ((1,), (0,))), qn, q_norm)
+        if metric == "poincare":
+            dq_tile, dkn_part = _poincare_bwd_terms(q, k, ds, curvature)
+            dq_ref[0] = dq_tile
+        else:
+            inside = jnp.abs(g) < (1.0 - EPS)
+            dg = jnp.where(inside, ds * jax.lax.rsqrt(
+                jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)     # [TL, S]
+            dq_ref[0] = _normalize_rows_vjp(
+                _dot(dg, kn, ((1,), (0,))), qn, q_norm)
+            dkn_part = _dot(dg, qn, ((0,), (0,)))            # [S, Dh]
 
         dv_part = _dot(p, do, ((0,), (0,)))                  # [S, Dh]
-        dkn_part = _dot(dg, qn, ((0,), (0,)))                # [S, Dh]
 
         @pl.when(i == 0)
         def _():
@@ -183,13 +267,13 @@ def _pad_inputs(q, k, v, mask, l_mult: int = _SUBLANE, s_mult: int = _LANE):
     return qp, kp, vp, mp, (L, S, Dh, Lp, Sp, Dp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_core(q, k, v, mask, interpret):
-    out, _ = _fused_fwd(q, k, v, mask, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_core(q, k, v, mask, interpret, metric="oblique", curvature=1.0):
+    out, _ = _fused_fwd(q, k, v, mask, interpret, metric, curvature)
     return out
 
 
-def _fused_fwd(q, k, v, mask, interpret):
+def _fused_fwd(q, k, v, mask, interpret, metric="oblique", curvature=1.0):
     qp, kp, vp, mp, dims = _pad_inputs(q, k, v, mask)
     B = qp.shape[0]
     L, S, Dh, Lp, Sp, Dp = dims
@@ -221,7 +305,7 @@ def _fused_fwd(q, k, v, mask, interpret):
         args.append(mp)
 
     op = pl.pallas_call(
-        _make_fwd_kernel(S, has_mask),
+        _make_fwd_kernel(S, has_mask, metric, curvature),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_l, Dp), lambda b, i: (b, i, 0),
@@ -237,7 +321,7 @@ def _fused_fwd(q, k, v, mask, interpret):
     return op[:, :L, :Dh], (q, k, v, mask)
 
 
-def _fused_bwd(interpret, res, do):
+def _fused_bwd(interpret, metric, curvature, res, do):
     q, k, v, mask = res
     qp, kp, vp, mp, dims = _pad_inputs(q, k, v, mask)
     B = qp.shape[0]
@@ -279,7 +363,7 @@ def _fused_bwd(interpret, res, do):
         out_specs.append(spec_m)
         out_shape.append(jax.ShapeDtypeStruct((B, Lp, Sp), jnp.float32))
     outs = pl.pallas_call(
-        _make_bwd_kernel(S, has_mask),
+        _make_bwd_kernel(S, has_mask, metric, curvature),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -288,17 +372,21 @@ def _fused_bwd(interpret, res, do):
     )(*args)
     dq, dkn, dv = outs[:3]
     d_mask_full = outs[3] if has_mask else None
-    # k-side row-normalize VJP outside the kernel: it needs the full dk-hat
-    # sum over all q-tiles, which only exists after the grid completes.
     dkn = dkn[:, :S, :Dh]
-    kn, k_norm = _normalize_rows(k.astype(jnp.float32))
-    dk = _normalize_rows_vjp(dkn, kn, k_norm)
+    if metric == "poincare":
+        # per-tile dk contributions were complete; the accumulation IS dk
+        dk = dkn
+    else:
+        # k-side row-normalize VJP outside the kernel: it needs the full
+        # dk-hat sum over all q-tiles, which only exists after the grid
+        # completes.
+        kn, k_norm = _normalize_rows(k.astype(jnp.float32))
+        dk = _normalize_rows_vjp(dkn, kn, k_norm)
     d_mask = None if mask is None else d_mask_full[:, :L, :S]
     return (dq[:, :L, :Dh], dk, dv[:, :S, :Dh], d_mask)
 
 
-_fused_core.defvjp(lambda q, k, v, m, interp: _fused_fwd(q, k, v, m, interp),
-                   _fused_bwd)
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
 # --------------------------------------------------------------------------- #
@@ -539,8 +627,15 @@ def flash_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                              *, mask: jnp.ndarray | None = None,
-                             interpret: bool | None = None) -> jnp.ndarray:
-    """Fused MHGSA core: softmax_j(-acos(q̂_i·k̂_j) + mask)·V.
+                             interpret: bool | None = None,
+                             metric: str = "oblique",
+                             curvature: float = 1.0) -> jnp.ndarray:
+    """Fused MHGSA core: softmax_j(score(q_i, k_j) + mask)·V.
+
+    ``metric``: "oblique" scores -acos(q̂_i·k̂_j); "poincare" scores the
+    negated Möbius geodesic distance at ``curvature`` — q/k must then ALREADY
+    be ball points (apply ``pmath.project(pmath.expmap0(x))`` first; keeping
+    that map outside the kernel leaves its autodiff to XLA).
 
     q: [..., L, Dh], k/v: [..., S, Dh], mask additive [..., L, S] or None.
     Leading dims are flattened into the kernel grid's batch axis. fp32 only.
@@ -559,5 +654,5 @@ def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v3 = v.reshape(B, S, Dh).astype(jnp.float32)
     m3 = None if mask is None else \
         jnp.broadcast_to(mask, (*lead, L, S)).reshape(B, L, S)
-    out = _fused_core(q3, k3, v3, m3, interpret)
+    out = _fused_core(q3, k3, v3, m3, interpret, metric, float(curvature))
     return out.reshape(*lead, L, Dh)

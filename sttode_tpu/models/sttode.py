@@ -128,10 +128,10 @@ class STTODEConfig(NamedTuple):
         assert self.compute_dtype in ("float32", "bfloat16"), \
             self.compute_dtype
         assert self.attn_metric in ("oblique", "poincare"), self.attn_metric
-        assert not (self.attn_metric == "poincare" and self.attn_impl
-                    in ("fused", "flash")), \
-            "poincare metric has no Pallas kernel: use attn_impl " \
-            "auto/dense (Gram closed form) or ring/ulysses (sequence-parallel)"
+        assert not (self.attn_metric == "poincare"
+                    and self.attn_impl == "flash"), \
+            "the S-tiled flash kernel is oblique-only; poincare serves " \
+            "auto/dense (XLA closed form), fused (Pallas), ring/ulysses (SP)"
         assert self.curvature > 0.0, self.curvature
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad

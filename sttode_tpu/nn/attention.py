@@ -244,8 +244,9 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     if kv_valid is not None and mask is None:
         neg = jnp.asarray(jnp.finfo(q.dtype).min, q.dtype)
         mask = jnp.where(kv_valid[..., None, :] > 0, 0.0, neg)
-    route = _kernel_route(q, k, mask, dropout_active, need_weights, fused) \
-        if metric == "oblique" else None
+    route = _kernel_route(q, k, mask, dropout_active, need_weights, fused)
+    if metric == "poincare" and route == "flash":
+        route = None   # the S-tiled kernel is oblique-only; jnp closed form
     if route is not None:
         from sttode_tpu.kernels.mhgsa import (flash_geodesic_attention,
                                               fused_geodesic_attention)
@@ -260,6 +261,15 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     "fused=False, or fused='auto' (which never routes masked "
                     "attention to flash)")
             out = flash_geodesic_attention(qq, kk, v)
+        elif metric == "poincare":
+            # ball map outside the kernel: its autodiff stays in XLA, the
+            # kernel's custom VJP covers the Gram-closed-form score epilogue
+            from sttode_tpu.manifolds import pmath
+            qb = pmath.project(pmath.expmap0(qq, c=curvature), c=curvature)
+            kb = pmath.project(pmath.expmap0(kk, c=curvature), c=curvature)
+            out = fused_geodesic_attention(qb, kb, v, mask=mask,
+                                           metric="poincare",
+                                           curvature=curvature)
         else:
             out = fused_geodesic_attention(qq, kk, v, mask=mask)
         return out, None

@@ -187,3 +187,105 @@ class TestFlash:
             assert _kernel_route(q, k, None, False, False, "auto") == "flash"
         mask = jnp.zeros((1, 256, 4096))
         assert _kernel_route(q, k, mask, False, False, "auto") != "flash"
+
+
+class TestPoincareFusedKernel:
+    """metric='poincare' through the fused kernel: Gram-closed-form scores
+    (pmath.dist_matrix_gram) + artanh epilogue, hand-derived VJP — validated
+    against the jnp closed-form oracle (the semantic the model's dense path
+    uses)."""
+
+    C = 0.7
+
+    @staticmethod
+    def _ball(rng, shape, scale=0.5):
+        from sttode_tpu.manifolds import pmath
+        x = jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+        return pmath.project(pmath.expmap0(x, c=TestPoincareFusedKernel.C),
+                             c=TestPoincareFusedKernel.C)
+
+    @staticmethod
+    def _oracle(qb, kb, v, mask=None):
+        from sttode_tpu.manifolds import pmath
+        s = -pmath.dist_matrix_gram(qb, kb, c=TestPoincareFusedKernel.C)
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bls,bsd->bld", p, v,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def test_forward_matches_oracle(self, rng):
+        qb = self._ball(rng, (2, 10, 8))
+        kb = self._ball(rng, (2, 13, 8))
+        v = jnp.asarray(rng.standard_normal((2, 13, 8)), jnp.float32)
+        out = fused_geodesic_attention(qb, kb, v, metric="poincare",
+                                       curvature=self.C)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(self._oracle(qb, kb, v)),
+                                   atol=1e-5)
+
+    def test_grads_match_oracle(self, rng):
+        qb = self._ball(rng, (2, 9, 8))
+        kb = self._ball(rng, (2, 11, 8))
+        v = jnp.asarray(rng.standard_normal((2, 11, 8)), jnp.float32)
+
+        def loss_fused(qb, kb, v):
+            return jnp.sum(jnp.sin(fused_geodesic_attention(
+                qb, kb, v, metric="poincare", curvature=self.C)))
+
+        def loss_ref(qb, kb, v):
+            return jnp.sum(jnp.sin(self._oracle(qb, kb, v)))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(qb, kb, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qb, kb, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, err_msg=f"d{name}")
+
+    def test_masked_grads_match_oracle(self, rng):
+        B, L, S = 1, 8, 12
+        qb = self._ball(rng, (B, L, 8))
+        kb = self._ball(rng, (B, S, 8))
+        v = jnp.asarray(rng.standard_normal((B, S, 8)), jnp.float32)
+        mask = jnp.where(jnp.arange(S)[None, None, :] < 9, 0.0, -1e30)
+        mask = jnp.broadcast_to(mask, (B, L, S))
+
+        def loss_fused(qb):
+            return jnp.sum(fused_geodesic_attention(
+                qb, kb, v, mask=mask, metric="poincare",
+                curvature=self.C) ** 2)
+
+        def loss_ref(qb):
+            return jnp.sum(self._oracle(qb, kb, v, mask=mask) ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_fused)(qb)),
+                                   np.asarray(jax.grad(loss_ref)(qb)),
+                                   atol=5e-5)
+
+    def test_grad_finite_identical_qk(self, rng):
+        """Self-attention with q==k hits the n→0 diagonal; the 1e-15 norm
+        guard must keep gradients finite (same guard as the jnp path)."""
+        x = self._ball(rng, (1, 8, 8))
+        v = jnp.asarray(rng.standard_normal((1, 8, 8)), jnp.float32)
+
+        def loss(x):
+            return jnp.sum(fused_geodesic_attention(
+                x, x, v, metric="poincare", curvature=self.C) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_model_route_fused_poincare(self, rng):
+        """geodesic_attention(fused=True, metric='poincare') == the dense jnp
+        path (which maps to the ball internally), both compat orientations."""
+        from sttode_tpu.nn.attention import geodesic_attention
+        q = jnp.asarray(rng.standard_normal((2, 8, 8)) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 8, 8)) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+        for compat in ("tpu", "reference"):
+            out_f, _ = geodesic_attention(q, k, v, compat=compat, fused=True,
+                                          metric="poincare", curvature=self.C)
+            out_d, _ = geodesic_attention(q, k, v, compat=compat, fused=False,
+                                          metric="poincare", curvature=self.C)
+            np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                                       atol=1e-5, err_msg=compat)
