@@ -134,34 +134,43 @@ def _poincare_scores(qb, kb, c: float, s_real: int, col_offset: int = 0):
     return jnp.where(col < s_real, s, NEG_INF)
 
 
-def _poincare_bwd_terms(qb, kb, ds, c: float):
-    """Hand-derived VJP of the poincare score epilogue.
+def _poincare_grad_pieces(qb, kb, ds, c: float):
+    """Tile-level hand-derived VJP pieces of the poincare score epilogue.
 
-    Given ds = dL/dscores [TL, S], returns (dq_tile [TL, Dp],
-    dk_part [S, Dp]) where dk_part is this q-tile's complete additive
-    contribution to dk (no cross-tile fixup needed: the y2 chain term
-    2·dy2ᵀ⊙kb is linear in the per-tile column sums, so per-tile
-    contributions just add).
+    Given ds = dL/dscores [TL, TS] on one (q-tile × k-tile) block, returns
+    (dg [TL, TS], dx2_part [TL, 1], dy2_part [TS, 1]) — the score-Gram
+    cotangent and the partial row/column-sum contributions to the squared-
+    norm cotangents. Both partials are plain sums over the block, so tiled
+    callers accumulate them across the other axis.
 
     Chain: s = -(2/√c)·artanh(clip(√c·n)) ⇒ ds/dn = -2/(1-z_c²);
     dn/dn² = 1/(2n); n² = m·den/(den+ε)² with m = relu(x2-2g+y2) ⇒
        ∂n²/∂m = den/(den+ε)²,   ∂n²/∂den = m·(ε-den)/(den+ε)³
        ∂m/∂g = -2·gate, ∂m/∂x2 = ∂m/∂y2 = gate
        ∂den/∂g = -2c,  ∂den/∂x2 = c²y2, ∂den/∂y2 = c²x2
-    and finally dq = dg·kb + 2·dx2⊙qb, dk = dgᵀ·qb + 2·dy2ᵀ⊙kb (from
-    x2 = Σ qb², y2 = Σ kb²).
     """
     g, x2, y2, m, den, n2, n, zc = _poincare_pieces(qb, kb, c)
-    dn = ds * (-2.0 / jnp.maximum(1.0 - zc * zc, 1e-12))      # [TL, S]
+    dn = ds * (-2.0 / jnp.maximum(1.0 - zc * zc, 1e-12))      # [TL, TS]
     dn2 = dn * (0.5 / n)
     dA = den / ((den + DENOM_EPS) ** 2)                        # ∂n²/∂m
     dB = m * (DENOM_EPS - den) / ((den + DENOM_EPS) ** 3)      # ∂n²/∂den
     gate = jnp.where(x2 - 2.0 * g + y2 > 0.0, 1.0, 0.0)
     dg = dn2 * (dA * (-2.0 * gate) + dB * (-2.0 * c))
-    dx2 = jnp.sum(dn2 * (dA * gate + dB * (c * c) * y2),
-                  axis=1, keepdims=True)                       # [TL, 1]
-    dy2 = jnp.sum(dn2 * (dA * gate + dB * (c * c) * x2),
-                  axis=0)[:, None]                             # [S, 1]
+    dx2_part = jnp.sum(dn2 * (dA * gate + dB * (c * c) * y2),
+                       axis=1, keepdims=True)                  # [TL, 1]
+    dy2_part = jnp.sum(dn2 * (dA * gate + dB * (c * c) * x2),
+                       axis=0)[:, None]                        # [TS, 1]
+    return dg, dx2_part, dy2_part
+
+
+def _poincare_bwd_terms(qb, kb, ds, c: float):
+    """Whole-S VJP of the poincare score epilogue: (dq_tile [TL, Dp],
+    dk_part [S, Dp]). dk_part is this q-tile's complete additive contribution
+    to dk (no cross-tile fixup needed: the y2 chain term 2·dy2ᵀ⊙kb is linear
+    in the per-tile column sums, so per-tile contributions just add).
+    Final assembly from the pieces: dq = dg·kb + 2·dx2⊙qb,
+    dk = dgᵀ·qb + 2·dy2ᵀ⊙kb (from x2 = Σ qb², y2 = Σ kb²)."""
+    dg, dx2, dy2 = _poincare_grad_pieces(qb, kb, ds, c)
     dq_tile = _dot(dg, kb, ((1,), (0,))) + 2.0 * dx2 * qb
     dk_part = _dot(dg, qb, ((0,), (0,))) + 2.0 * dy2 * kb
     return dq_tile, dk_part
@@ -412,7 +421,8 @@ def _flash_tile_scores(q_block, k_block, ki: int, tile_s: int, s_real: int):
     return qn, q_norm, kn, g, gc, s
 
 
-def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int):
+def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int,
+                           metric: str = "oblique", curvature: float = 1.0):
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
         ki = pl.program_id(2)
 
@@ -422,8 +432,12 @@ def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int):
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        _, _, _, _, _, s = _flash_tile_scores(q_ref[0], k_ref[0], ki, tile_s,
-                                              s_real)
+        if metric == "poincare":
+            s = _poincare_scores(q_ref[0], k_ref[0], curvature, s_real,
+                                 col_offset=ki * tile_s)
+        else:
+            _, _, _, _, _, s = _flash_tile_scores(q_ref[0], k_ref[0], ki,
+                                                  tile_s, s_real)
         m_prev = m_scr[...][:, :1]                        # [TL, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
@@ -439,6 +453,68 @@ def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int):
             o_ref[0] = acc_scr[...] / l
             lse = m_scr[...][:, :1] + jnp.log(l)
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+    return kernel
+
+
+def _make_flash_poincare_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
+                                   c: float):
+    """dq sweep for the poincare metric: accumulates the Gram-side term
+    dg·kb across k-tiles plus the scalar dx2 row sums; assembles
+    dq = Σ dg·kb + 2·dx2⊙qb at the last tile."""
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               dqg_scr, dx2_scr):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            dqg_scr[...] = jnp.zeros_like(dqg_scr)
+            dx2_scr[...] = jnp.zeros_like(dx2_scr)
+
+        qb, kb = q_ref[0], k_ref[0]
+        s = _poincare_scores(qb, kb, c, s_real, col_offset=ki * tile_s)
+        p = jnp.exp(s - lse_ref[0][:, :1])
+        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        ds = p * (dp - delta_ref[0][:, :1])
+        dg, dx2p, _ = _poincare_grad_pieces(qb, kb, ds, c)
+        dqg_scr[...] += _dot(dg, kb, ((1,), (0,)))
+        dx2_scr[...] += jnp.broadcast_to(dx2p, dx2_scr.shape)
+
+        @pl.when(ki == n_ktiles - 1)
+        def _():
+            dq_ref[0] = dqg_scr[...] + 2.0 * dx2_scr[...][:, :1] * qb
+    return kernel
+
+
+def _make_flash_poincare_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
+                                    c: float):
+    """dk/dv sweep for the poincare metric (grid (B, k_tiles, q_tiles)):
+    accumulates dgᵀ·qb, pᵀ·do and the scalar dy2 column sums over q-tiles;
+    assembles dk = Σ dgᵀ·qb + 2·dy2⊙kb at the last q-tile."""
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dk_ref, dv_ref, dkg_scr, dv_scr, dy2_scr):
+        ki = pl.program_id(1)
+        qi = pl.program_id(2)
+
+        @pl.when(qi == 0)
+        def _():
+            dkg_scr[...] = jnp.zeros_like(dkg_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
+            dy2_scr[...] = jnp.zeros_like(dy2_scr)
+
+        qb, kb = q_ref[0], k_ref[0]
+        s = _poincare_scores(qb, kb, c, s_real, col_offset=ki * tile_s)
+        p = jnp.exp(s - lse_ref[0][:, :1])
+        dv_scr[...] += _dot(p, do_ref[0], ((0,), (0,)))
+        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        ds = p * (dp - delta_ref[0][:, :1])
+        dg, _, dy2p = _poincare_grad_pieces(qb, kb, ds, c)
+        dkg_scr[...] += _dot(dg, qb, ((0,), (0,)))
+        dy2_scr[...] += jnp.broadcast_to(dy2p, dy2_scr.shape)
+
+        @pl.when(qi == n_qtiles - 1)
+        def _():
+            dk_ref[0] = dkg_scr[...] + 2.0 * dy2_scr[...][:, :1] * kb
+            dv_ref[0] = dv_scr[...]
     return kernel
 
 
@@ -519,13 +595,13 @@ def _flash_specs(tile_l, tile_s, Dp):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_core(q, k, v, interpret):
-    out, _ = _flash_fwd(q, k, v, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q, k, v, interpret, metric="oblique", curvature=1.0):
+    out, _ = _flash_fwd(q, k, v, interpret, metric, curvature)
     return out
 
 
-def _flash_fwd(q, k, v, interpret):
+def _flash_fwd(q, k, v, interpret, metric="oblique", curvature=1.0):
     qp, kp, vp, dims = _flash_pad(q, k, v)
     B = qp.shape[0]
     L, S, Dh, Lp, Sp, Dp = dims
@@ -537,7 +613,7 @@ def _flash_fwd(q, k, v, interpret):
     spec_lse = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, qi, ki: (b, qi, 0),
                             memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
-        _make_flash_fwd_kernel(S, n_k, ts),
+        _make_flash_fwd_kernel(S, n_k, ts, metric, curvature),
         grid=grid,
         in_specs=_flash_specs(tl, ts, Dp),
         out_specs=[spec_row, spec_lse],
@@ -551,7 +627,7 @@ def _flash_fwd(q, k, v, interpret):
     return out[:, :L, :Dh], (q, k, v, out[:, :L, :Dh], lse)
 
 
-def _flash_bwd(interpret, res, do):
+def _flash_bwd(interpret, metric, curvature, res, do):
     q, k, v, out, lse = res
     qp, kp, vp, dims = _flash_pad(q, k, v)
     B = qp.shape[0]
@@ -569,13 +645,20 @@ def _flash_bwd(interpret, res, do):
                             memory_space=pltpu.VMEM)
     spec_lse = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, qi, ki: (b, qi, 0),
                             memory_space=pltpu.VMEM)
+    if metric == "poincare":
+        dq_kernel = _make_flash_poincare_dq_kernel(S, n_k, ts, curvature)
+        dq_scratch = [pltpu.VMEM((tl, Dp), jnp.float32),
+                      pltpu.VMEM((tl, _LSE_LANES), jnp.float32)]
+    else:
+        dq_kernel = _make_flash_dq_kernel(S, n_k, ts)
+        dq_scratch = [pltpu.VMEM((tl, Dp), jnp.float32)]
     dq = pl.pallas_call(
-        _make_flash_dq_kernel(S, n_k, ts),
+        dq_kernel,
         grid=(B, n_q, n_k),
         in_specs=_flash_specs(tl, ts, Dp) + [spec_row, spec_lse, spec_lse],
         out_specs=spec_row,
         out_shape=jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tl, Dp), jnp.float32)],
+        scratch_shapes=dq_scratch,
         interpret=interpret,
     )(qp, kp, vp, dop, lse, deltap)
 
@@ -586,30 +669,43 @@ def _flash_bwd(interpret, res, do):
                            memory_space=pltpu.VMEM)
     spec_lse2 = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, ki, qi: (b, qi, 0),
                              memory_space=pltpu.VMEM)
+    if metric == "poincare":
+        dkv_kernel = _make_flash_poincare_dkv_kernel(S, n_q, ts, curvature)
+        dkv_scratch = [pltpu.VMEM((ts, Dp), jnp.float32),
+                       pltpu.VMEM((ts, Dp), jnp.float32),
+                       pltpu.VMEM((ts, _LSE_LANES), jnp.float32)]
+    else:
+        dkv_kernel = _make_flash_dkv_kernel(S, n_q, ts)
+        dkv_scratch = [pltpu.VMEM((ts, Dp), jnp.float32),
+                       pltpu.VMEM((ts, Dp), jnp.float32)]
     dk, dv = pl.pallas_call(
-        _make_flash_dkv_kernel(S, n_q, ts),
+        dkv_kernel,
         grid=(B, n_k, n_q),
         in_specs=[spec_q2, spec_k2, spec_k2, spec_q2, spec_lse2, spec_lse2],
         out_specs=[spec_k2, spec_k2],
         out_shape=[jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
                    jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((ts, Dp), jnp.float32),
-                        pltpu.VMEM((ts, Dp), jnp.float32)],
+        scratch_shapes=dkv_scratch,
         interpret=interpret,
     )(qp, kp, vp, dop, lse, deltap)
     return (dq[:, :L, :Dh], dk[:, :S, :Dh], dv[:, :S, :Dh])
 
 
-_flash_core.defvjp(lambda q, k, v, interp: _flash_fwd(q, k, v, interp),
-                   _flash_bwd)
+_flash_core.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                             *, interpret: bool | None = None) -> jnp.ndarray:
-    """S-tiled MHGSA: softmax_j(-acos(q̂_i·k̂_j))·V with online softmax —
+                             *, interpret: bool | None = None,
+                             metric: str = "oblique",
+                             curvature: float = 1.0) -> jnp.ndarray:
+    """S-tiled MHGSA: softmax_j(score(q_i, k_j))·V with online softmax —
     context length bounded by HBM, not VMEM. Maskless (padding is handled by
     the in-kernel column predicate); route masked attention to
     ``fused_geodesic_attention`` or the jnp path.
+
+    ``metric``: "oblique" (-acos) or "poincare" (Möbius geodesic distance at
+    ``curvature``; q/k must already be ball points — see
+    ``fused_geodesic_attention``).
 
     q: [..., L, Dh], k/v: [..., S, Dh]; fp32."""
     if interpret is None:
@@ -622,7 +718,8 @@ def flash_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q3 = q.reshape(B, L, Dh).astype(jnp.float32)
     k3 = k.reshape(B, S, Dh).astype(jnp.float32)
     v3 = v.reshape(B, S, Dh).astype(jnp.float32)
-    return _flash_core(q3, k3, v3, interpret).reshape(*lead, L, Dh)
+    out = _flash_core(q3, k3, v3, interpret, metric, float(curvature))
+    return out.reshape(*lead, L, Dh)
 
 
 def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -128,10 +128,8 @@ class STTODEConfig(NamedTuple):
         assert self.compute_dtype in ("float32", "bfloat16"), \
             self.compute_dtype
         assert self.attn_metric in ("oblique", "poincare"), self.attn_metric
-        assert not (self.attn_metric == "poincare"
-                    and self.attn_impl == "flash"), \
-            "the S-tiled flash kernel is oblique-only; poincare serves " \
-            "auto/dense (XLA closed form), fused (Pallas), ring/ulysses (SP)"
+        # every attn_impl serves both metrics (oblique -acos and the
+        # poincare Möbius distance via the Gram closed form)
         assert self.curvature > 0.0, self.curvature
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad

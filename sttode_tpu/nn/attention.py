@@ -245,33 +245,31 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         neg = jnp.asarray(jnp.finfo(q.dtype).min, q.dtype)
         mask = jnp.where(kv_valid[..., None, :] > 0, 0.0, neg)
     route = _kernel_route(q, k, mask, dropout_active, need_weights, fused)
-    if metric == "poincare" and route == "flash":
-        route = None   # the S-tiled kernel is oblique-only; jnp closed form
     if route is not None:
         from sttode_tpu.kernels.mhgsa import (flash_geodesic_attention,
                                               fused_geodesic_attention)
         square = q.shape[-2] == k.shape[-2]
         qq, kk = (k, q) if (compat == "reference" and square) else (q, k)
-        if route == "flash":
-            if mask is not None:
-                # not an assert: under python -O an assert would vanish and
-                # the mask would be silently dropped
-                raise ValueError(
-                    "flash kernel is maskless; use fused=True (S ≤ ~2k), "
-                    "fused=False, or fused='auto' (which never routes masked "
-                    "attention to flash)")
-            out = flash_geodesic_attention(qq, kk, v)
-        elif metric == "poincare":
-            # ball map outside the kernel: its autodiff stays in XLA, the
-            # kernel's custom VJP covers the Gram-closed-form score epilogue
+        if route == "flash" and mask is not None:
+            # not an assert: under python -O an assert would vanish and
+            # the mask would be silently dropped
+            raise ValueError(
+                "flash kernel is maskless; use fused=True (S ≤ ~2k), "
+                "fused=False, or fused='auto' (which never routes masked "
+                "attention to flash)")
+        if metric == "poincare":
+            # ball map outside the kernels: its autodiff stays in XLA, the
+            # custom VJPs cover the Gram-closed-form score epilogue
             from sttode_tpu.manifolds import pmath
-            qb = pmath.project(pmath.expmap0(qq, c=curvature), c=curvature)
-            kb = pmath.project(pmath.expmap0(kk, c=curvature), c=curvature)
-            out = fused_geodesic_attention(qb, kb, v, mask=mask,
-                                           metric="poincare",
+            qq = pmath.project(pmath.expmap0(qq, c=curvature), c=curvature)
+            kk = pmath.project(pmath.expmap0(kk, c=curvature), c=curvature)
+        if route == "flash":
+            out = flash_geodesic_attention(qq, kk, v, metric=metric,
                                            curvature=curvature)
         else:
-            out = fused_geodesic_attention(qq, kk, v, mask=mask)
+            out = fused_geodesic_attention(qq, kk, v, mask=mask,
+                                           metric=metric,
+                                           curvature=curvature)
         return out, None
 
     scores = geodesic_scores(q, k, compat=compat, metric=metric,

@@ -5,7 +5,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sttode_tpu.kernels import fused_geodesic_attention
+from sttode_tpu.kernels import (flash_geodesic_attention,
+                               fused_geodesic_attention)
 from sttode_tpu.nn.attention import geodesic_attention
 
 
@@ -289,3 +290,41 @@ class TestPoincareFusedKernel:
                                           metric="poincare", curvature=self.C)
             np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
                                        atol=1e-5, err_msg=compat)
+
+
+class TestPoincareFlashKernel:
+    """metric='poincare' through the S-tiled flash kernel: online softmax
+    with the Gram-closed-form scores; dq/dkv sweeps carry the extra x2/y2
+    scalar accumulators."""
+
+    C = 0.7
+
+    def test_forward_multi_ktile_matches_oracle(self, rng):
+        # S spans 2 k-tiles at the 512 tile size, unaligned on purpose
+        qb = TestPoincareFusedKernel._ball(rng, (2, 80, 8), scale=0.3)
+        kb = TestPoincareFusedKernel._ball(rng, (2, 700, 8), scale=0.3)
+        v = jnp.asarray(rng.standard_normal((2, 700, 8)), jnp.float32)
+        out = flash_geodesic_attention(qb, kb, v, metric="poincare",
+                                       curvature=self.C)
+        ref = TestPoincareFusedKernel._oracle(qb, kb, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_grads_match_oracle(self, rng):
+        qb = TestPoincareFusedKernel._ball(rng, (1, 64, 8), scale=0.3)
+        kb = TestPoincareFusedKernel._ball(rng, (1, 600, 8), scale=0.3)
+        v = jnp.asarray(rng.standard_normal((1, 600, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((1, 64, 8)), jnp.float32)
+
+        def loss_flash(qb, kb, v):
+            return jnp.sum(flash_geodesic_attention(
+                qb, kb, v, metric="poincare", curvature=self.C) * w)
+
+        def loss_ref(qb, kb, v):
+            return jnp.sum(TestPoincareFusedKernel._oracle(qb, kb, v) * w)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qb, kb, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=f"d{name}")

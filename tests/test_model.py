@@ -90,13 +90,9 @@ class TestForward:
         assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
         assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in flat)
 
-    def test_poincare_metric_rejects_flash_route(self):
-        import pytest as _pytest
-
-        with _pytest.raises(AssertionError, match="oblique-only"):
-            tiny_cfg(attn_metric="poincare", attn_impl="flash").validate()
-        # fused IS served (Pallas poincare epilogue)
-        tiny_cfg(attn_metric="poincare", attn_impl="fused").validate()
+    def test_poincare_metric_serves_all_impls(self):
+        for impl in ("auto", "dense", "fused", "flash", "ring", "ulysses"):
+            tiny_cfg(attn_metric="poincare", attn_impl=impl).validate()
 
     def test_bfloat16_compute_dtype(self, rng):
         """compute_dtype='bfloat16' (decode-MLP operands cast, fp32
