@@ -357,14 +357,29 @@ def prior(params: dict, cfg: STTODEConfig,
 # decoder                                                                     #
 # --------------------------------------------------------------------------- #
 
+def decode_block0_state(params: dict, past_traj: jnp.ndarray) -> jnp.ndarray:
+    """Decompose block 1's conv+GRU state [M, 96]. Block 1 always sees
+    residual = x_true − 0 = past_traj, independent of z and the sample
+    count — so ONE scan serves every decode of the step (posterior recon,
+    gradient-free best-of-K, winner recompute): pass the result to
+    ``decode(block0_state=...)``. Bitwise-identical to the in-decode
+    computation."""
+    block = params["decoder"][0]
+    h = jax.nn.relu(conv1d(block["conv_past"], past_traj, padding=1))
+    _, state_m = gru(block["gru"], h)                          # [M, 96]
+    return state_m
+
+
 def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
            z: jnp.ndarray, past_traj: jnp.ndarray, cur_location: jnp.ndarray,
-           sample_num: int):
+           sample_num: int, block0_state: jnp.ndarray | None = None):
     """Iterative decompose decoder (reference Decoder.forward,
     model/STTODE.py:320-347).
 
     past_feature: [M·s, 2D] (pre-repeated), z: [M·s, zdim],
-    past_traj: [M, T_p, 2], cur_location: [M, 1, 2].
+    past_traj: [M, T_p, 2], cur_location: [M, 1, 2];
+    ``block0_state`` optionally shares block 1's [M, 96] GRU state across
+    decodes (see ``decode_block0_state``).
     Returns (out_seq [M·s, T_f, 2] absolute, reconstruction [M·s, T_p, 2]).
     """
     s = sample_num
@@ -381,7 +396,10 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
     # num_decompose=2 distinct blocks — unrolled (each has its own params);
     # block i+1 refines the residual x_true - x_hat_i.
     for i, block in enumerate(params["decoder"]):
-        if i == 0 and s > 1:
+        if i == 0 and block0_state is not None:
+            state = jnp.repeat(block0_state, s, axis=0) if s > 1 \
+                else block0_state
+        elif i == 0 and s > 1:
             # Block 1 sees residual = x_true - 0, identical across the s
             # samples: run its conv+GRU once on the M unrepeated rows and
             # repeat the final state — K× less sequential scan work in the
@@ -480,14 +498,23 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     pz = prior(params, cfg, past_feature)
     qz_sample = qz.rsample(k_q)
 
-    # posterior reconstruction decode (sample_num=1)
-    pred_traj, recover_traj = decode(params, cfg, past_feature, qz_sample,
-                                     batch.past, batch.cur_location, 1)
-    l_pred = loss_pred(pred_traj, batch.future, B, valid)
-    l_recover = loss_pred(recover_traj, batch.past, B, valid)
+    # decompose block 1's GRU state depends only on past_traj: one scan
+    # serves every decode below (posterior, grad-free K, winner recompute)
+    state0 = decode_block0_state(params, batch.past)
+
+    if cfg.diverse_grad == "sparse" and K > 1 and "diverse" in cfg.loss_terms:
+        # defer the posterior decode: it batches with the winner recompute
+        # into ONE decode (one block-2 GRU scan instead of two)
+        pred_traj = recover_traj = None
+    else:
+        pred_traj, recover_traj = decode(params, cfg, past_feature, qz_sample,
+                                         batch.past, batch.cur_location, 1,
+                                         block0_state=state0)
     l_kl = loss_kl(qz, pz, B, N, cfg.min_clip, valid)
 
     if "diverse" not in cfg.loss_terms:
+        l_pred = loss_pred(pred_traj, batch.future, B, valid)
+        l_recover = loss_pred(recover_traj, batch.past, B, valid)
         # VAE-only objective (the reference trainvae.py intent): no K-sample
         # decode at all — the dominant FLOPs of the step vanish with it
         zeros_k = jnp.zeros((M, K, cfg.future_length, 2), pred_traj.dtype)
@@ -514,7 +541,7 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         sg = jax.lax.stop_gradient
         diverse, _ = decode(sg(params), cfg, sg(past_feature_k),
                             sg(pz_sample), batch.past,
-                            batch.cur_location, K)
+                            batch.cur_location, K, block0_state=sg(state0))
         diverse = diverse.reshape(M, K, cfg.future_length, 2)
         dist = jnp.sum(jnp.square(batch.future[:, None] - diverse),
                        axis=(-1, -2))                          # [M, K]
@@ -523,8 +550,17 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # learned prior still receives gradients through its chosen draws
         z_best = jnp.take_along_axis(pz_sample.reshape(M, K, -1),
                                      best[:, None, None], axis=1)[:, 0]
-        best_pred, _ = decode(params, cfg, past_feature, z_best, batch.past,
-                              batch.cur_location, 1)
+        # ONE differentiable decode for (posterior, winner): the two z's
+        # interleave as a sample axis of 2 — row-wise ops keep each sample's
+        # numerics identical to separate decodes
+        pf2 = jnp.repeat(past_feature, 2, axis=0)
+        z2 = jnp.stack([qz_sample, z_best], axis=1).reshape(2 * M, -1)
+        out2, rec2 = decode(params, cfg, pf2, z2, batch.past,
+                            batch.cur_location, 2, block0_state=state0)
+        out2 = out2.reshape(M, 2, cfg.future_length, 2)
+        pred_traj = out2[:, 0]
+        best_pred = out2[:, 1]
+        recover_traj = rec2.reshape(M, 2, cfg.past_length, 2)[:, 0]
         best_se = jnp.sum(jnp.square(batch.future - best_pred), axis=(-1, -2))
         if valid is not None:
             l_div = jnp.sum(best_se * valid) / jnp.maximum(jnp.sum(valid), 1.0)
@@ -532,9 +568,12 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
             l_div = jnp.mean(best_se)
     else:
         diverse, _ = decode(params, cfg, past_feature_k, pz_sample, batch.past,
-                            batch.cur_location, K)
+                            batch.cur_location, K, block0_state=state0)
         diverse = diverse.reshape(M, K, cfg.future_length, 2)
         l_div = loss_diverse(diverse, batch.future, valid)
+
+    l_pred = loss_pred(pred_traj, batch.future, B, valid)
+    l_recover = loss_pred(recover_traj, batch.past, B, valid)
 
     terms = {"pred": l_pred, "recover": l_recover, "kl": l_kl,
              "diverse": l_div}
