@@ -347,3 +347,28 @@ class TestRemat:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestSamplerPoincareMetric:
+    def test_stage2_over_poincare_net(self, rng):
+        """The DLow sampler drives a frozen net configured with the poincare
+        MHGSA metric: forward, loss, and sampler-only gradients stay finite
+        (the stage-2 path composes with every attn_metric)."""
+        cfg = tiny_cfg(attn_metric="poincare", curvature=0.5)
+        scfg = SamplerConfig(nk=cfg.sample_k, nz=cfg.zdim, qnet_mlp=(32, 16))
+        net = sttode_init(jax.random.PRNGKey(0), cfg)
+        sp = sampler_init(jax.random.PRNGKey(1), scfg,
+                          pred_model_dim=cfg.hidden_dim,
+                          past_feature_dim=2 * cfg.hidden_dim)
+        batch = make_batch(rng)
+
+        def loss(sp):
+            out = sampler_forward(sp, net, scfg, cfg, batch,
+                                  jax.random.PRNGKey(2))
+            return sampler_loss(out, scfg, batch)[0]
+
+        total, g = jax.value_and_grad(loss)(sp)
+        assert np.isfinite(float(total))
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+        assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in flat)
