@@ -328,3 +328,48 @@ class TestPoincareFlashKernel:
         for a, b, name in zip(gf, gr, "qkv"):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, err_msg=f"d{name}")
+
+    def test_fused_multi_qtile_grads(self, rng):
+        """L > 256 spans multiple q-tiles: the poincare dk/dv accumulation
+        across the sequential grid (and the per-tile-complete dk property)
+        must match the oracle."""
+        C = TestPoincareFusedKernel.C
+        qb = TestPoincareFusedKernel._ball(rng, (1, 300, 8), scale=0.3)
+        kb = TestPoincareFusedKernel._ball(rng, (1, 20, 8), scale=0.3)
+        v = jnp.asarray(rng.standard_normal((1, 20, 8)), jnp.float32)
+
+        def loss_fused(qb, kb, v):
+            return jnp.sum(jnp.sin(fused_geodesic_attention(
+                qb, kb, v, metric="poincare", curvature=C)))
+
+        def loss_ref(qb, kb, v):
+            return jnp.sum(jnp.sin(TestPoincareFusedKernel._oracle(qb, kb, v)))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(qb, kb, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qb, kb, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=f"d{name}")
+
+    def test_flash_multi_qtile_and_ktile_grads(self, rng):
+        """Both sweep axes multi-tile (L=600 -> 3 q-tiles, S=600 -> 2
+        k-tiles): exercises the poincare dq k-sweep AND the dkv q-sweep
+        accumulators across tiles."""
+        C = TestPoincareFusedKernel.C
+        qb = TestPoincareFusedKernel._ball(rng, (1, 600, 8), scale=0.3)
+        kb = TestPoincareFusedKernel._ball(rng, (1, 600, 8), scale=0.3)
+        v = jnp.asarray(rng.standard_normal((1, 600, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((1, 600, 8)), jnp.float32)
+
+        def loss_flash(qb, kb, v):
+            return jnp.sum(flash_geodesic_attention(
+                qb, kb, v, metric="poincare", curvature=C) * w)
+
+        def loss_ref(qb, kb, v):
+            return jnp.sum(TestPoincareFusedKernel._oracle(qb, kb, v) * w)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qb, kb, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=f"d{name}")
