@@ -126,18 +126,26 @@ def _poincare_pieces(qb, kb, c: float):
     return g, x2, y2, m, den, n2, n, zc
 
 
-def _poincare_scores(qb, kb, c: float, s_real: int, col_offset: int = 0):
-    *_, zc = _poincare_pieces(qb, kb, c)
+def _poincare_score_from_pieces(zc, c: float, s_real: int,
+                                col_offset: int = 0):
     sqrt_c = c ** 0.5
     s = -(2.0 / sqrt_c) * 0.5 * jnp.log((1.0 + zc) / (1.0 - zc))
     col = col_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(col < s_real, s, NEG_INF)
 
 
-def _poincare_grad_pieces(qb, kb, ds, c: float):
+def _poincare_scores(qb, kb, c: float, s_real: int, col_offset: int = 0):
+    *_, zc = _poincare_pieces(qb, kb, c)
+    return _poincare_score_from_pieces(zc, c, s_real, col_offset)
+
+
+def _poincare_grad_pieces(pieces, ds, c: float):
     """Tile-level hand-derived VJP pieces of the poincare score epilogue.
 
-    Given ds = dL/dscores [TL, TS] on one (q-tile × k-tile) block, returns
+    ``pieces`` is the tuple ``_poincare_pieces`` returned for this block
+    (passed in so the HIGHEST-precision Gram and the epilogue are computed
+    ONCE per backward tile, shared with the score recompute). Given
+    ds = dL/dscores [TL, TS] on one (q-tile × k-tile) block, returns
     (dg [TL, TS], dx2_part [TL, 1], dy2_part [TS, 1]) — the score-Gram
     cotangent and the partial row/column-sum contributions to the squared-
     norm cotangents. Both partials are plain sums over the block, so tiled
@@ -149,7 +157,7 @@ def _poincare_grad_pieces(qb, kb, ds, c: float):
        ∂m/∂g = -2·gate, ∂m/∂x2 = ∂m/∂y2 = gate
        ∂den/∂g = -2c,  ∂den/∂x2 = c²y2, ∂den/∂y2 = c²x2
     """
-    g, x2, y2, m, den, n2, n, zc = _poincare_pieces(qb, kb, c)
+    g, x2, y2, m, den, n2, n, zc = pieces
     dn = ds * (-2.0 / jnp.maximum(1.0 - zc * zc, 1e-12))      # [TL, TS]
     dn2 = dn * (0.5 / n)
     dA = den / ((den + DENOM_EPS) ** 2)                        # ∂n²/∂m
@@ -169,8 +177,16 @@ def _poincare_bwd_terms(qb, kb, ds, c: float):
     to dk (no cross-tile fixup needed: the y2 chain term 2·dy2ᵀ⊙kb is linear
     in the per-tile column sums, so per-tile contributions just add).
     Final assembly from the pieces: dq = dg·kb + 2·dx2⊙qb,
-    dk = dgᵀ·qb + 2·dy2ᵀ⊙kb (from x2 = Σ qb², y2 = Σ kb²)."""
-    dg, dx2, dy2 = _poincare_grad_pieces(qb, kb, ds, c)
+    dk = dgᵀ·qb + 2·dy2ᵀ⊙kb (from x2 = Σ qb², y2 = Σ kb²).
+
+    Recomputes ``_poincare_pieces`` rather than taking the score pass's
+    tuple: in the whole-S kernel, keeping all [TL, S] pieces live across
+    the softmax OVERFLOWS scoped VMEM at S=1024 (measured 17.2M > 16M
+    limit) — the recompute keeps peak liveness bounded and Mosaic
+    schedules it without a measured cost. The S-tiled flash kernels DO
+    share the tuple (``_poincare_grad_pieces(pieces, ...)``): their
+    [TL, TS] blocks are small enough."""
+    dg, dx2, dy2 = _poincare_grad_pieces(_poincare_pieces(qb, kb, c), ds, c)
     dq_tile = _dot(dg, kb, ((1,), (0,))) + 2.0 * dx2 * qb
     dk_part = _dot(dg, qb, ((0,), (0,))) + 2.0 * dy2 * kb
     return dq_tile, dk_part
@@ -338,7 +354,10 @@ def _fused_bwd(interpret, metric, curvature, res, do):
     dop = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(do)
     has_mask = mp is not None
 
-    tile_l = min(Lp, 256)
+    # poincare's backward keeps more [TL, S] intermediates live (the x2/y2
+    # chain terms on top of the softmax VJP): at TL=256, S=1024 it measures
+    # 17.2M scoped VMEM vs the 16M limit — halve the q-tile for headroom
+    tile_l = min(Lp, 128 if metric == "poincare" else 256)
     if Lp % tile_l:
         extra = tile_l - (Lp % tile_l)
         qp = jnp.pad(qp, ((0, 0), (0, extra), (0, 0)))
@@ -471,11 +490,13 @@ def _make_flash_poincare_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
             dx2_scr[...] = jnp.zeros_like(dx2_scr)
 
         qb, kb = q_ref[0], k_ref[0]
-        s = _poincare_scores(qb, kb, c, s_real, col_offset=ki * tile_s)
+        pieces = _poincare_pieces(qb, kb, c)
+        s = _poincare_score_from_pieces(pieces[-1], c, s_real,
+                                        col_offset=ki * tile_s)
         p = jnp.exp(s - lse_ref[0][:, :1])
         dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
-        dg, dx2p, _ = _poincare_grad_pieces(qb, kb, ds, c)
+        dg, dx2p, _ = _poincare_grad_pieces(pieces, ds, c)
         dqg_scr[...] += _dot(dg, kb, ((1,), (0,)))
         dx2_scr[...] += jnp.broadcast_to(dx2p, dx2_scr.shape)
 
@@ -502,12 +523,14 @@ def _make_flash_poincare_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
             dy2_scr[...] = jnp.zeros_like(dy2_scr)
 
         qb, kb = q_ref[0], k_ref[0]
-        s = _poincare_scores(qb, kb, c, s_real, col_offset=ki * tile_s)
+        pieces = _poincare_pieces(qb, kb, c)
+        s = _poincare_score_from_pieces(pieces[-1], c, s_real,
+                                        col_offset=ki * tile_s)
         p = jnp.exp(s - lse_ref[0][:, :1])
         dv_scr[...] += _dot(p, do_ref[0], ((0,), (0,)))
         dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
-        dg, _, dy2p = _poincare_grad_pieces(qb, kb, ds, c)
+        dg, _, dy2p = _poincare_grad_pieces(pieces, ds, c)
         dkg_scr[...] += _dot(dg, qb, ((0,), (0,)))
         dy2_scr[...] += jnp.broadcast_to(dy2p, dy2_scr.shape)
 

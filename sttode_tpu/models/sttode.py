@@ -404,9 +404,8 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
             # samples: run its conv+GRU once on the M unrepeated rows and
             # repeat the final state — K× less sequential scan work in the
             # best-of-K decode, bitwise-identical output.
-            h = jax.nn.relu(conv1d(block["conv_past"], past_traj, padding=1))
-            _, state_m = gru(block["gru"], h)                  # [M, 96]
-            state = jnp.repeat(state_m, s, axis=0)             # [M·s, 96]
+            state = jnp.repeat(decode_block0_state(params, past_traj),
+                               s, axis=0)                      # [M·s, 96]
         else:
             residual = x_true - x_hat                          # [M·s, T_p, 2]
             h = jax.nn.relu(conv1d(block["conv_past"], residual, padding=1))

@@ -187,6 +187,13 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     the ring path supports (padding, not arbitrary additive biases).
     """
     dropout_active = (not deterministic) and dropout_rate > 0.0
+    if dropout_active and fused in ("ring", "ulysses"):
+        # loud, not silent: the SP paths have no attention-weight dropout
+        # (the reference trains with dropout=0); dropping it quietly would
+        # change training behavior vs the dense route
+        raise ValueError(
+            f"attn_impl='{fused}' does not implement attention dropout; "
+            "set dropout=0 (the reference default) or use a dense route")
     if fused == "ulysses":
         if mesh is None:
             raise ValueError("attn_impl='ulysses' needs a mesh — pass it "
@@ -208,8 +215,13 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             B *= d
         val = None
         if kv_valid is not None:
-            # kv_valid carries no head axis: broadcast over the batch dims only
-            val = jnp.broadcast_to(kv_valid, (*batch, S)).reshape(B, S)
+            # kv_valid carries no head axis at rest: squeeze any explicit
+            # singleton (e.g. a broadcast head axis a dense-route caller
+            # added), then broadcast over the batch dims only
+            kvv = kv_valid
+            while kvv.ndim > len(batch) + 1 and kvv.shape[-2] == 1:
+                kvv = jnp.squeeze(kvv, axis=-2)
+            val = jnp.broadcast_to(kvv, (*batch, S)).reshape(B, S)
         out = ulysses_geodesic_attention(
             qq.reshape(B, H, L, Dh), kk.reshape(B, H, S, Dh),
             v.reshape(B, H, S, Dh), mesh, axis=ring_axis, kv_valid=val,

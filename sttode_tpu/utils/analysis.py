@@ -115,6 +115,7 @@ def grassmann_distance(x1: jnp.ndarray, x2: jnp.ndarray, p: int = 5) -> jnp.ndar
     """
     u1, s1, _ = jnp.linalg.svd(x1, full_matrices=False)
     u2, s2, _ = jnp.linalg.svd(x2, full_matrices=False)
-    overlap = u2[:, :p].T @ u1[:, :p]                        # [p, p]
+    overlap = jnp.matmul(u2[:, :p].T, u1[:, :p],
+                         precision=_PRECISION)               # [p, p]
     s = jnp.linalg.svd(overlap, compute_uv=False)
     return jnp.mean((s1 - s2) ** 2) + jnp.mean(s * s)

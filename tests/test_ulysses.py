@@ -226,3 +226,36 @@ class TestUlyssesPoincareMetric:
         l_u, _ = _loss_and_grads(cfg_u, params, batch, mesh=mesh)
         l_d, _ = _loss_and_grads(cfg_dense, params, batch)
         np.testing.assert_allclose(float(l_u), float(l_d), rtol=2e-5)
+
+
+class TestUlyssesEdgeCases:
+    def test_kv_valid_with_singleton_head_axis(self, rng):
+        """kv_valid shaped [B, 1, S] (a broadcast head axis, valid for the
+        dense route) must work through the ulysses glue too."""
+        mesh = make_mesh(dp=8, tp=1)
+        B, H, L, D = 2, 8, 16, 8
+        q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+        valid = np.ones((B, L), np.float32)
+        valid[0, 12:] = 0.0
+        from sttode_tpu.nn.attention import geodesic_attention
+        out1, _ = geodesic_attention(q, q, v, compat="tpu", fused="ulysses",
+                                     mesh=mesh, kv_valid=jnp.asarray(valid))
+        out2, _ = geodesic_attention(q, q, v, compat="tpu", fused="ulysses",
+                                     mesh=mesh,
+                                     kv_valid=jnp.asarray(valid)[:, None, :])
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-6)
+
+    def test_active_dropout_raises_loudly(self, rng):
+        """SP paths have no attention dropout: active dropout must raise,
+        not silently change training behavior vs the dense route."""
+        mesh = make_mesh(dp=8, tp=1)
+        q = jnp.asarray(rng.standard_normal((2, 8, 16, 8)), jnp.float32)
+        from sttode_tpu.nn.attention import geodesic_attention
+        for impl in ("ring", "ulysses"):
+            with pytest.raises(ValueError, match="dropout"):
+                geodesic_attention(q, q, q, compat="tpu", fused=impl,
+                                   mesh=mesh, dropout_rate=0.1,
+                                   dropout_key=jax.random.PRNGKey(0),
+                                   deterministic=False)
