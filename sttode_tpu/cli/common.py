@@ -40,6 +40,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--decay_gamma", type=float, default=0.5)
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--model_save_epoch", type=int, default=5)
+    p.add_argument("--keep_last_ckpts", type=int, default=0,
+                   help="retain only the newest N checkpoints (0 = keep all, "
+                        "the reference behavior)")
+    p.add_argument("--async_ckpt", action="store_true",
+                   help="flush checkpoints to disk in the background so "
+                        "training steps overlap the write")
     p.add_argument("--epoch_continue", type=int, default=0)
     p.add_argument("--max_train_agent", type=int, default=100)
     p.add_argument("--no_rand_rot", action="store_true")

@@ -108,9 +108,14 @@ def main(argv=None):
             if action == "rollback":
                 continue
         elif (epoch + 1) % args.model_save_epoch == 0:
-            path = save_checkpoint(cdir, epoch + 1, params, opt_state, cfg)
+            path = save_checkpoint(
+                cdir, epoch + 1, params, opt_state, cfg,
+                background=getattr(args, "async_ckpt", False),
+                keep_last=getattr(args, "keep_last_ckpts", 0) or None)
             print(f"saved {path}")
         epoch += 1
+    from sttode_tpu.train.checkpoint import flush_saves
+    flush_saves()
     return params, cfg
 
 

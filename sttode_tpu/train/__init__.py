@@ -3,8 +3,10 @@ orbax checkpointing."""
 
 from sttode_tpu.train.checkpoint import (
     checkpoint_epochs,
+    flush_saves,
     latest_checkpoint,
     load_checkpoint,
+    prune_checkpoints,
     save_checkpoint,
 )
 from sttode_tpu.train.loop import (
@@ -23,7 +25,8 @@ from sttode_tpu.train.schedulers import (
 )
 
 __all__ = [
-    "checkpoint_epochs", "latest_checkpoint", "load_checkpoint",
+    "checkpoint_epochs", "flush_saves", "latest_checkpoint",
+    "load_checkpoint", "prune_checkpoints",
     "save_checkpoint", "make_sampler_train_step", "make_train_step",
     "stack_batches", "train_epoch", "ExpParamAnnealer", "ReduceOnPlateau",
     "adam_with_schedule", "lambda_lr", "set_lr", "step_lr",

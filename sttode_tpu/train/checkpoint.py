@@ -60,23 +60,103 @@ def _restore_like(template: Any, restored: Any):
     return restored
 
 
+_async_ckptr: ocp.AsyncCheckpointer | None = None
+
+
+def _get_async_ckptr() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight ``background=True`` save has committed.
+    Call before reading a just-written checkpoint or at shutdown."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def prune_checkpoints(ckpt_dir: str, keep_last: int) -> list[str]:
+    """Delete all but the newest ``keep_last`` committed checkpoints (the
+    reference keeps every 5th-epoch pickle forever; long production runs
+    need bounded disk). Returns the removed paths. Only COMMITTED directories
+    are considered — an in-flight async save writes to a tmp dir and renames
+    on commit, so it is never a candidate."""
+    import shutil
+
+    epochs = checkpoint_epochs(ckpt_dir)
+    removed = []
+    for e in epochs[:-keep_last] if keep_last > 0 else []:
+        p = os.path.join(os.path.abspath(ckpt_dir), CKPT_FMT.format(e))
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed
+
+
 def save_checkpoint(ckpt_dir: str, epoch: int, params: Any, opt_state: Any,
-                    cfg: NamedTuple, extra: dict | None = None) -> str:
-    """Write ``<ckpt_dir>/model_%04d`` with params, optimizer state, config."""
+                    cfg: NamedTuple, extra: dict | None = None, *,
+                    background: bool = False,
+                    keep_last: int | None = None) -> str:
+    """Write ``<ckpt_dir>/model_%04d`` with params, optimizer state, config.
+
+    ``background=True`` returns as soon as the arrays are snapshotted and
+    flushes to disk asynchronously (orbax AsyncCheckpointer) so the next
+    training steps overlap the write; ``wait_for_saves()`` blocks on the
+    commit (``load_checkpoint`` of a just-saved path calls it implicitly).
+    ``keep_last`` prunes older committed checkpoints down to that count
+    BEFORE the new save starts.
+    """
+    if keep_last is not None:
+        # commit any in-flight saves (and their sidecars) first so pruning
+        # only ever sees complete checkpoints, then keep one fewer than
+        # keep_last — the new checkpoint becomes the keep_last-th
+        flush_saves()
+        prune_checkpoints(ckpt_dir, max(keep_last - 1, 0))
     path = os.path.join(os.path.abspath(ckpt_dir), CKPT_FMT.format(epoch))
-    ckptr = ocp.PyTreeCheckpointer()
     payload = {
         "params": params,
         "opt_state": opt_state,
         "epoch": np.asarray(epoch),
     }
+    # config/extra sidecars are tiny synchronous writes either way; orbax
+    # renames the checkpoint dir into place on commit, so the sidecars live
+    # NEXT to it until then — write them after save for the sync path, and
+    # into the final path after commit for async via a tiny follow-up
+    if background:
+        ckptr = _get_async_ckptr()
+        ckptr.save(path, payload, force=True)
+        # sidecar writes must wait for the directory rename; orbax exposes
+        # completion only via wait_until_finished, so defer them there
+        _pending_sidecars.append((path, _config_to_json(cfg),
+                                  json.dumps(extra) if extra else None))
+        return path
+    ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
-    with open(os.path.join(path, "config.json"), "w") as f:
-        f.write(_config_to_json(cfg))
-    if extra:
-        with open(os.path.join(path, "extra.json"), "w") as f:
-            json.dump(extra, f)
+    _write_sidecars(path, _config_to_json(cfg),
+                    json.dumps(extra) if extra else None)
     return path
+
+
+_pending_sidecars: list[tuple[str, str, str | None]] = []
+
+
+def _write_sidecars(path: str, cfg_json: str, extra_json: str | None) -> None:
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(cfg_json)
+    if extra_json is not None:
+        with open(os.path.join(path, "extra.json"), "w") as f:
+            f.write(extra_json)
+
+
+def flush_saves() -> None:
+    """``wait_for_saves`` + write the deferred config/extra sidecars of
+    async checkpoints (their directories exist only after commit)."""
+    wait_for_saves()
+    while _pending_sidecars:
+        path, cfg_json, extra_json = _pending_sidecars.pop(0)
+        if os.path.isdir(path):   # a pruned checkpoint needs no sidecar
+            _write_sidecars(path, cfg_json, extra_json)
 
 
 def load_checkpoint(path: str, *, template: Any | None = None):
@@ -86,6 +166,7 @@ def load_checkpoint(path: str, *, template: Any | None = None):
     # orbax/tensorstore requires absolute paths; save() absolutizes, restore
     # must too (caught by the CLI workflow run with a relative --ckpt_dir)
     path = os.path.abspath(path)
+    flush_saves()   # a just-written background save must commit first
     ckptr = ocp.PyTreeCheckpointer()
     template_complete = template is not None and all(
         template.get(k) is not None for k in ("params", "opt_state"))
@@ -106,17 +187,23 @@ def load_checkpoint(path: str, *, template: Any | None = None):
     return restored["params"], restored["opt_state"], epoch, cfg
 
 
-def latest_checkpoint(ckpt_dir: str) -> str | None:
-    """Newest ``model_%04d`` under ``ckpt_dir`` (the reference sampler trainer
-    resumes by parsing the newest filename, trainsampler.py:300-308)."""
+def _committed_names(ckpt_dir: str) -> list[str]:
+    """Checkpoint dir names matching model_%04d EXACTLY — an in-flight async
+    save's ``model_XXXX.orbax-checkpoint-tmp-*`` staging dir must not be
+    listed (it would crash int() parsing and could be resumed half-written)."""
     if not os.path.isdir(ckpt_dir):
-        return None
-    cands = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("model_"))
+        return []
+    return sorted(d for d in os.listdir(ckpt_dir)
+                  if d.startswith("model_") and d[6:].isdigit())
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """Newest committed ``model_%04d`` under ``ckpt_dir`` (the reference
+    sampler trainer resumes by parsing the newest filename,
+    trainsampler.py:300-308)."""
+    cands = _committed_names(ckpt_dir)
     return os.path.join(ckpt_dir, cands[-1]) if cands else None
 
 
 def checkpoint_epochs(ckpt_dir: str) -> list[int]:
-    if not os.path.isdir(ckpt_dir):
-        return []
-    return sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-                  if d.startswith("model_"))
+    return sorted(int(d.split("_")[1]) for d in _committed_names(ckpt_dir))

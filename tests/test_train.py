@@ -358,3 +358,49 @@ class TestMeshHelpers:
     def test_init_distributed_noop_single_host(self):
         from sttode_tpu.parallel.mesh import init_distributed
         assert init_distributed() is False
+
+
+class TestCheckpointAsyncAndRetention:
+    def test_background_save_roundtrip(self, rng, tmp_path):
+        """background=True: save returns immediately, flush commits, and
+        load restores the same pytrees + config (load flushes implicitly)."""
+        from sttode_tpu.train import flush_saves
+
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        path = save_checkpoint(str(tmp_path), 3, params, opt_state, cfg,
+                               background=True)
+        p2, o2, epoch, cfg2 = load_checkpoint(
+            path, template={"params": params, "opt_state": opt_state,
+                            "epoch": np.asarray(0)})
+        assert epoch == 3 and cfg2 == cfg
+        eq = jax.tree_util.tree_map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), params, p2)
+        assert all(jax.tree_util.tree_leaves(eq))
+        flush_saves()   # idempotent after load's implicit flush
+
+    def test_keep_last_prunes_old_checkpoints(self, rng, tmp_path):
+        from sttode_tpu.train import checkpoint_epochs
+
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        for e in (1, 2, 3):
+            save_checkpoint(str(tmp_path), e, params, opt_state, cfg)
+        # the 4th save with keep_last=2 leaves exactly {3, 4}
+        save_checkpoint(str(tmp_path), 4, params, opt_state, cfg, keep_last=2)
+        assert checkpoint_epochs(str(tmp_path)) == [3, 4]
+
+    def test_listing_ignores_staging_dirs(self, tmp_path):
+        """An in-flight orbax async save's tmp dir must not be listed as a
+        resumable checkpoint (it parses as garbage and is half-written)."""
+        from sttode_tpu.train import checkpoint_epochs, latest_checkpoint
+        import os
+
+        os.makedirs(tmp_path / "model_0004")
+        os.makedirs(tmp_path / "model_0005.orbax-checkpoint-tmp-12345")
+        assert checkpoint_epochs(str(tmp_path)) == [4]
+        assert latest_checkpoint(str(tmp_path)).endswith("model_0004")
