@@ -58,6 +58,14 @@ def main(argv=None):
         vae_path, template={"params": template, "opt_state": None,
                             "epoch": np.asarray(0)})
     print(f"frozen net from {vae_path}")
+    if scfg.nz != cfg.zdim:
+        # fail fast with the fix named, instead of a dot_general shape error
+        # deep inside the decoder: the sampler's latents drive the frozen
+        # net's decoder, so their dimensions must match
+        raise SystemExit(
+            f"--nz {scfg.nz} must equal the frozen net's zdim {cfg.zdim} "
+            f"(the sampler's A·ε+b latents feed the net's decoder); "
+            f"pass --nz {cfg.zdim}")
 
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
@@ -100,9 +108,13 @@ def main(argv=None):
         msg = " ".join(f"{k}: {v:.4f}" for k, v in sorted(means.items()))
         print(f"sampler epoch {epoch:03d} [{time.time() - t0:.1f}s] {msg}")
         if (epoch + 1) % args.model_save_epoch == 0:
-            path = save_checkpoint(sdir, epoch + 1, sampler_params, opt_state,
-                                   scfg)
+            path = save_checkpoint(
+                sdir, epoch + 1, sampler_params, opt_state, scfg,
+                background=getattr(args, "async_ckpt", False),
+                keep_last=getattr(args, "keep_last_ckpts", 0) or None)
             print(f"saved {path}")
+    from sttode_tpu.train.checkpoint import flush_saves
+    flush_saves()
     return sampler_params, scfg
 
 

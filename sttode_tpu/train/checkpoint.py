@@ -87,7 +87,9 @@ def prune_checkpoints(ckpt_dir: str, keep_last: int) -> list[str]:
 
     epochs = checkpoint_epochs(ckpt_dir)
     removed = []
-    for e in epochs[:-keep_last] if keep_last > 0 else []:
+    # keep_last == 0 removes every committed checkpoint (save_checkpoint
+    # calls prune(keep_last - 1) right before writing the newest one)
+    for e in epochs[:-keep_last] if keep_last > 0 else epochs:
         p = os.path.join(os.path.abspath(ckpt_dir), CKPT_FMT.format(e))
         shutil.rmtree(p, ignore_errors=True)
         removed.append(p)

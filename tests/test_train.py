@@ -404,3 +404,17 @@ class TestCheckpointAsyncAndRetention:
         os.makedirs(tmp_path / "model_0005.orbax-checkpoint-tmp-12345")
         assert checkpoint_epochs(str(tmp_path)) == [4]
         assert latest_checkpoint(str(tmp_path)).endswith("model_0004")
+
+    def test_keep_last_one(self, rng, tmp_path):
+        """keep_last=1 retains exactly the newest checkpoint (regression:
+        prune(keep_last-1=0) must remove ALL older ones, not no-op)."""
+        from sttode_tpu.train import checkpoint_epochs
+
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        for e in (1, 2, 3):
+            save_checkpoint(str(tmp_path), e, params, opt_state, cfg,
+                            keep_last=1)
+        assert checkpoint_epochs(str(tmp_path)) == [3]
