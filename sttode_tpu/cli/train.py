@@ -11,6 +11,7 @@ StepLR(decay_step, γ) per epoch → orbax checkpoint every model_save_epoch
 from __future__ import annotations
 
 import os
+import signal
 import time
 
 import jax
@@ -80,6 +81,18 @@ def main(argv=None):
         supervisor = Supervisor(cdir, cfg,
                                 save_every=args.model_save_epoch)
 
+    # Preemption safety: TPU pods get SIGTERM with a grace window. Finish
+    # the current epoch, checkpoint, and exit 0 so --epoch_continue resumes
+    # exactly where the run stopped. (The reference loses everything since
+    # its last 5th-epoch pickle.)
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+        print(f"signal {signum}: checkpointing after this epoch", flush=True)
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_term)
+
     epoch = start_epoch
     while epoch < args.num_epochs:
         opt_state = set_lr(opt_state, schedule(epoch) * (
@@ -114,6 +127,12 @@ def main(argv=None):
                 keep_last=getattr(args, "keep_last_ckpts", 0) or None)
             print(f"saved {path}")
         epoch += 1
+        if preempted["flag"]:
+            path = save_checkpoint(cdir, epoch, params, opt_state, cfg)
+            print(f"preempted: saved {path}; resume with "
+                  f"--epoch_continue {epoch}", flush=True)
+            break
+    signal.signal(signal.SIGTERM, prev_handler)
     from sttode_tpu.train.checkpoint import flush_saves
     flush_saves()
     return params, cfg

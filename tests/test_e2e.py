@@ -179,3 +179,56 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+@pytest.mark.e2e
+def test_sigterm_checkpoints_and_resumes(workspace, tmp_path):
+    """Preemption safety: SIGTERM mid-run finishes the epoch, writes a
+    checkpoint, exits 0 with the resume command named; --epoch_continue
+    picks up from it."""
+    import signal
+    import subprocess
+    import sys as _sys
+
+    ckpt = str(tmp_path / "preempt_ckpts")
+    cli_args = COMMON + ["--data_root", workspace["data_root"],
+                         "--ckpt_dir", ckpt,
+                         "--num_epochs", "50", "--model_save_epoch", "50"]
+    child = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from sttode_tpu.cli import train\n"
+        f"train.main({cli_args!r})\n"
+        "sys.stdout.flush(); import os; os._exit(0)\n"
+    )
+    proc = subprocess.Popen([_sys.executable, "-u", "-c", child],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    lines = []
+    try:
+        for line in proc.stdout:
+            lines.append(line)
+            if line.startswith("epoch 000"):
+                proc.send_signal(signal.SIGTERM)
+            if line.startswith("preempted: saved"):
+                break
+        rest, _ = proc.communicate(timeout=300)
+        lines.append(rest or "")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    out = "".join(lines)
+    assert proc.returncode == 0, out[-2000:]
+    assert "preempted: saved" in out and "--epoch_continue 1" in out, \
+        out[-2000:]
+    from sttode_tpu.train import checkpoint_epochs
+    assert checkpoint_epochs(os.path.join(ckpt, "eth")) == [1]
+
+    # resume in-process from the preemption checkpoint for one more epoch
+    from sttode_tpu.cli import train as train_cli
+    train_cli.main(cli_args[:-4] + ["--num_epochs", "2",
+                                    "--model_save_epoch", "1",
+                                    "--epoch_continue", "1"])
+    assert 2 in checkpoint_epochs(os.path.join(ckpt, "eth"))
