@@ -46,19 +46,22 @@ def _emit_group(group: list[dict], bucket: int, *, training: bool,
         obs[j, :n] = s["obs"]
         pred[j, :n] = s["pred"]
         valid[j, :n] = 1.0
-    if compat == "reference" and B > 1 and not valid.all():
+    if compat == "reference" and B > 1:
         # Under reference compat the model DROPS attention masks (quirk Q2)
-        # and attends over the scene axis (Q4): with B > 1 a padded agent
-        # slot of one scene enters the softmax of every other scene's token
-        # for that slot — numerics silently diverge from the reference.
-        # (B == 1 padded is safe: softmax over a single scene token, and the
-        # losses mask padded rows.) Use compat='tpu' + attn_axis='agent' for
-        # multi-scene padded batches, or scenes_per_batch=1.
+        # and attends over the scene axis (Q4): with B > 1 the grouped
+        # scenes CROSS-ATTEND (the reference's ETH/SDD protocol steps one
+        # scene at a time) and any padded agent slot of one scene enters the
+        # softmax of every other scene's token for that slot — numerics
+        # silently diverge from the reference whether or not the bucket is
+        # exactly full. (B == 1 padded is safe: softmax over a single scene
+        # token, and the losses mask padded rows.)
         raise ValueError(
-            "compat='reference' with scenes_per_batch>1 and padded buckets "
+            "compat='reference' with scenes_per_batch>1 "
             f"(bucket {bucket}, fills {[len(s['obs']) for s in group]}): "
-            "padded agents would leak into the maskless scene-axis softmax. "
-            "Use compat='tpu' with attn_axis='agent', or scenes_per_batch=1.")
+            "grouped scenes cross-attend on the maskless scene axis and "
+            "padded agents would leak into its softmax — reference ETH/SDD "
+            "numerics are per-scene. Use compat='tpu' with "
+            "attn_axis='agent', or scenes_per_batch=1.")
     return prepare_scene_group(obs, pred, valid, training=training, rng=rng,
                                rand_rot=rand_rot)
 
@@ -85,8 +88,11 @@ def scene_batches(scenes: list[dict], *, training: bool,
                          "training statistics)")
     if shuffle is None:
         shuffle = training
+    if shuffle and rng is None:
+        raise ValueError("shuffle=True needs an rng (silently yielding "
+                         "dataset order would defeat the explicit request)")
     order = np.arange(len(scenes))
-    if shuffle and rng is not None:
+    if shuffle:
         rng.shuffle(order)
 
     # the reference cap semantics exactly: subsample above max_train_agent;
@@ -116,10 +122,16 @@ def scene_batches(scenes: list[dict], *, training: bool,
 
 def compiled_shape_count(scenes: list[dict],
                          buckets: Sequence[int] = DEFAULT_BUCKETS,
-                         max_train_agent: int = 100) -> dict[int, int]:
-    """Diagnostic: scenes per bucket — how many XLA programs a sweep costs."""
+                         max_train_agent: int = 100, *,
+                         training: bool = True) -> dict[int, int]:
+    """Diagnostic: scenes per bucket — how many XLA programs a sweep costs.
+    ``training=False`` skips the subsampling cap (eval never subsamples, so
+    oversized scenes land in extended buckets)."""
     counts: dict[int, int] = {}
     for s in scenes:
-        b = bucket_for(min(len(s["obs"]), max_train_agent), buckets)
+        n = len(s["obs"])
+        if training:
+            n = min(n, max_train_agent)
+        b = bucket_for(n, buckets)
         counts[b] = counts.get(b, 0) + 1
     return counts

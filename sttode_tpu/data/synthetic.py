@@ -66,7 +66,7 @@ def make_social_scenes(n_scenes: int, *, agents_range=(3, 8),
 
 
 def write_eth_style_csvs(data_root: str, *, n_files: int = 2,
-                         scenes_per_file: int = 0, frames_per_file: int = 200,
+                         frames_per_file: int = 200,
                          agents: int = 12, seed: int = 0) -> None:
     """Materialize a continuous ETH-style CSV stream (frame,ped,x,y) so the
     real windowing loaders can be exercised on realistic volume."""

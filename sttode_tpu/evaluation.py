@@ -60,24 +60,32 @@ def evaluate_scenes(params, cfg: STTODEConfig, scenes: list[dict], key, *,
     inside the jitted dispatch; False keeps the host-numpy path — the oracle
     the device path is tested against (tests/test_evaluation.py)."""
     if device_reduce:
-        ade_s = fde_s = miss_s = n_s = 0.0
+        # accumulate DEVICE scalars and materialize once after the loop —
+        # a float() per batch would host-sync every dispatch and serialize
+        # the loop (same rationale as train_epoch's metric accumulation)
+        ade_s = fde_s = miss_s = n_s = None
         for batch, _origs in scene_batches(scenes, training=False,
-                                           scenes_per_batch=scenes_per_batch):
+                                           scenes_per_batch=scenes_per_batch,
+                                           compat=cfg.compat):
             key, sub = jax.random.split(key)
             a, f, m, n = _infer_and_reduce(params, cfg, batch, sub, sample_k,
                                            miss_threshold)
-            ade_s += float(a)
-            fde_s += float(f)
-            miss_s += float(m)
-            n_s += float(n)
-        n_s = max(n_s, 1.0)
-        return {"ade": ade_s / n_s, "fde": fde_s / n_s,
-                "miss_rate": miss_s / n_s, "agents": int(n_s)}
+            if ade_s is None:
+                ade_s, fde_s, miss_s, n_s = a, f, m, n
+            else:
+                ade_s, fde_s, miss_s, n_s = (ade_s + a, fde_s + f,
+                                             miss_s + m, n_s + n)
+        if ade_s is None:
+            return {"ade": 0.0, "fde": 0.0, "miss_rate": 0.0, "agents": 0}
+        n_f = max(float(n_s), 1.0)
+        return {"ade": float(ade_s) / n_f, "fde": float(fde_s) / n_f,
+                "miss_rate": float(miss_s) / n_f, "agents": int(n_f)}
 
     ade_m, fde_m = AverageMeter(), AverageMeter()
     missed, total = 0, 0
     for batch, origs in scene_batches(scenes, training=False,
-                                      scenes_per_batch=scenes_per_batch):
+                                      scenes_per_batch=scenes_per_batch,
+                                      compat=cfg.compat):
         key, sub = jax.random.split(key)
         preds = np.asarray(_infer(params, cfg, batch, sub, sample_k))
         K, M, T, _ = preds.shape
@@ -112,6 +120,11 @@ def evaluate_nba(params, cfg: STTODEConfig, batches: Iterable[dict], key, *,
     best-of-K prefix ADE / step FDE at each 0.4s horizon; 1.0s/3.0s reported as
     the mean of the two adjacent prefixes."""
     T = cfg.future_length
+    if T != 10:
+        raise ValueError(
+            f"evaluate_nba assumes the NBA protocol: 10 prediction steps at "
+            f"0.4 s (horizon rows 1.0s-4.0s index that grid); got "
+            f"future_length={T}")
     avg_acc = np.zeros(T)
     dest_acc = np.zeros(T)
     n_scenes = 0

@@ -72,9 +72,14 @@ class Predictor:
         Tp, Tf = self.cfg.past_length, self.cfg.future_length
         by_bucket: dict[int, list[int]] = {}
         for i, obs in enumerate(scenes):
-            if obs.shape[-2:] != (Tp, 2):
+            if obs.ndim != 3 or obs.shape[-2:] != (Tp, 2):
+                # ndim check matters: a single-agent [T_p, 2] array would
+                # otherwise pass the trailing-shape test and silently
+                # broadcast into T_p phantom agents downstream
                 raise ValueError(
-                    f"scene {i}: expected [N, {Tp}, 2], got {obs.shape}")
+                    f"scene {i}: expected [N, {Tp}, 2], got {obs.shape}"
+                    + (" — wrap a single agent as obs[None]"
+                       if obs.ndim == 2 else ""))
             by_bucket.setdefault(bucket_for(len(obs), self.buckets),
                                  []).append(i)
 

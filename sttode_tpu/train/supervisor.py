@@ -45,7 +45,12 @@ class Supervisor:
             return False
         if self.history:
             baseline = float(np.median(self.history))
-            if baseline > 0 and loss > self.explosion_factor * baseline:
+            # threshold = baseline + (f-1)·max(|baseline|, 1): identical to
+            # the plain f·baseline ratio for baselines ≥ 1, but stays armed
+            # for objectives whose loss hovers near zero or negative (a
+            # ratio test silently disables there)
+            scale = max(abs(baseline), 1.0)
+            if loss > baseline + (self.explosion_factor - 1.0) * scale:
                 return False
         return True
 

@@ -191,10 +191,13 @@ class TestBatching:
         counts = compiled_shape_count(scenes)
         assert counts == {8: 2, 32: 1}
 
-    def test_reference_compat_padded_multiscene_guard(self, rng):
-        """compat='reference' + scenes_per_batch>1 + padding is a hard error:
-        quirk Q2 drops masks, so padded agents would enter the scene-axis
-        softmax (round-1 VERDICT weak-item 1)."""
+    def test_reference_compat_multiscene_guard(self, rng):
+        """compat='reference' + scenes_per_batch>1 is a hard error, padded OR
+        full: quirk Q2 drops masks and Q4 attends over the scene axis, so
+        grouped scenes cross-attend (the reference ETH/SDD protocol is
+        per-scene) and padded agents would additionally leak into the
+        softmax (round-1 VERDICT weak-item 1; full-bucket case closed by a
+        later review)."""
         import pytest as _pytest
 
         scenes = [{"obs": rng.standard_normal((n, 8, 2)).astype(np.float32),
@@ -203,13 +206,14 @@ class TestBatching:
         with _pytest.raises(ValueError, match="leak"):
             list(scene_batches(scenes, training=False, scenes_per_batch=2,
                                compat="reference"))
-        # full buckets are reference-exact (no padding): allowed
+        # exactly-full buckets have no padding leak but STILL cross-attend:
+        # also rejected
         full = [{"obs": rng.standard_normal((8, 8, 2)).astype(np.float32),
                  "pred": rng.standard_normal((8, 12, 2)).astype(np.float32)}
                 for _ in range(2)]
-        out = list(scene_batches(full, training=False, scenes_per_batch=2,
-                                 compat="reference"))
-        assert out[0][0].batch_size == 2
+        with _pytest.raises(ValueError, match="cross-attend"):
+            list(scene_batches(full, training=False, scenes_per_batch=2,
+                               compat="reference"))
         # and B=1 padded is safe under reference compat (single-token softmax,
         # masked losses)
         out = list(scene_batches(scenes, training=False, scenes_per_batch=1,
@@ -336,3 +340,22 @@ class TestSynthetic:
         scenes = load_eth_ucy(str(tmp_path))
         assert len(scenes) == 30 - 20 + 1
         assert all(s["obs"].shape[0] == 4 for s in scenes)
+
+
+class TestBatchingReviewFixes:
+    def test_shuffle_without_rng_raises(self, rng):
+        import pytest as _pytest
+        scenes = [{"obs": rng.standard_normal((3, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((3, 12, 2)).astype(np.float32)}]
+        with _pytest.raises(ValueError, match="rng"):
+            list(scene_batches(scenes, training=False, shuffle=True))
+
+    def test_compiled_shape_count_eval_mode(self, rng):
+        from sttode_tpu.data.batching import compiled_shape_count, bucket_for
+        scenes = [{"obs": rng.standard_normal((150, 8, 2)).astype(np.float32),
+                   "pred": rng.standard_normal((150, 12, 2)).astype(np.float32)}]
+        train_counts = compiled_shape_count(scenes, max_train_agent=100)
+        eval_counts = compiled_shape_count(scenes, max_train_agent=100,
+                                           training=False)
+        assert list(train_counts) == [bucket_for(100)]
+        assert list(eval_counts) == [bucket_for(150)]

@@ -59,3 +59,10 @@ class TestPredictor:
 
     def test_warmup(self, predictor):
         predictor.warmup([2, 9])
+
+
+def test_single_agent_2d_input_rejected(predictor):
+    """[T_p, 2] input must error with the wrap hint, not broadcast into
+    phantom agents (review fix)."""
+    with pytest.raises(ValueError, match=r"obs\[None\]"):
+        predictor.predict(np.zeros((8, 2), np.float32))

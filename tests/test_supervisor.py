@@ -61,3 +61,19 @@ class TestSupervisor:
         _, _, _, a1 = sup.after_epoch(1, float("nan"), params, opt_state)
         _, _, _, a2 = sup.after_epoch(1, float("nan"), params, opt_state)
         assert a1 == "rollback" and a2 == "abort"
+
+
+class TestSupervisorNegativeBaseline:
+    def test_explosion_armed_for_nonpositive_losses(self, tmp_path, state):
+        """A ratio test silently disables when the running median is <= 0;
+        the additive-scale threshold stays armed (review fix)."""
+        from sttode_tpu.models import STTODEConfig
+
+        params, opt_state = state
+        sup = Supervisor(str(tmp_path), STTODEConfig(), save_every=1,
+                         explosion_factor=10.0)
+        for e in range(3):
+            sup.after_epoch(e, -2.0, params, opt_state)
+        assert not sup.healthy(1e6)
+        assert sup.healthy(-1.5)
+        assert sup.healthy(4.0)   # within baseline + 9*max(|b|,1) = 16
