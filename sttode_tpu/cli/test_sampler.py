@@ -29,9 +29,45 @@ def _sample(sampler_params, net_params, scfg, cfg, batch, key):
     return out.dec_motion
 
 
-def eval_sampler(sampler_params, net_params, scfg, cfg, scenes, key):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _sample_and_reduce(sampler_params, net_params, scfg, cfg, batch, key):
+    """Sampler decode AND best-of-K min/ADE/FDE in one device dispatch
+    (mirrors evaluation._infer_and_reduce — scene origins cancel in
+    pred − gt, so the reduction is origin-free). Returns masked sums
+    (Σ ade, Σ fde, Σ valid)."""
+    import jax.numpy as jnp
+
+    dec = _sample(sampler_params, net_params, scfg, cfg, batch, key)
+    err = jnp.linalg.norm(dec - batch.future[:, None], axis=-1)  # [M, K, T]
+    ade_per = jnp.min(jnp.mean(err, axis=-1), axis=1)            # [M]
+    fde_per = jnp.min(err[..., -1], axis=1)                      # [M]
+    v = batch.valid
+    return jnp.sum(ade_per * v), jnp.sum(fde_per * v), jnp.sum(v)
+
+
+def eval_sampler(sampler_params, net_params, scfg, cfg, scenes, key, *,
+                 device_reduce: bool = True):
+    """Best-of-K sampler eval. ``device_reduce=True`` (default) reduces on
+    device and host-syncs once after the loop; False keeps the host-numpy
+    path — the oracle the device path is tested against."""
+    if device_reduce:
+        sums = None
+        for batch, _origs in scene_batches(scenes, training=False,
+                                           compat=cfg.compat):
+            key, sub = jax.random.split(key)
+            batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+            a, f, n = _sample_and_reduce(sampler_params, net_params, scfg,
+                                         cfg, batch, sub)
+            sums = (a, f, n) if sums is None else \
+                (sums[0] + a, sums[1] + f, sums[2] + n)
+        if sums is None:
+            return 0.0, 0.0
+        n_f = max(float(sums[2]), 1.0)
+        return float(sums[0]) / n_f, float(sums[1]) / n_f
+
     ade_m, fde_m = AverageMeter(), AverageMeter()
-    for batch, origs in scene_batches(scenes, training=False):
+    for batch, origs in scene_batches(scenes, training=False,
+                                      compat=cfg.compat):
         key, sub = jax.random.split(key)
         batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
         dec = np.asarray(_sample(sampler_params, net_params, scfg, cfg,

@@ -128,3 +128,28 @@ class TestNbaHorizon:
             table["fde"]["3.0s"], (dest_at(7) + dest_at(8)) / 2, rtol=1e-5)
         np.testing.assert_allclose(table["fde"]["4.0s"], dest_at(10),
                                    rtol=1e-5)
+
+
+class TestSamplerEvalDeviceReduce:
+    def test_device_matches_host_oracle(self, rng):
+        """cli.test_sampler.eval_sampler: the fused device reduction equals
+        the host-numpy path (same pattern as evaluate_scenes)."""
+        import jax
+        from sttode_tpu.cli.test_sampler import eval_sampler
+        from sttode_tpu.data.synthetic import make_social_scenes
+        from sttode_tpu.models import (SamplerConfig, STTODEConfig,
+                                       sampler_init, sttode_init)
+
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           sample_k=4).validate()
+        scfg = SamplerConfig(nk=4, nz=8, qnet_mlp=(16, 8))
+        net = sttode_init(jax.random.PRNGKey(0), cfg)
+        sp = sampler_init(jax.random.PRNGKey(1), scfg,
+                          pred_model_dim=cfg.hidden_dim,
+                          past_feature_dim=2 * cfg.hidden_dim)
+        scenes = make_social_scenes(5, obs_len=8, pred_len=12, seed=2)
+        a_d, f_d = eval_sampler(sp, net, scfg, cfg, scenes,
+                                jax.random.PRNGKey(3), device_reduce=True)
+        a_h, f_h = eval_sampler(sp, net, scfg, cfg, scenes,
+                                jax.random.PRNGKey(3), device_reduce=False)
+        assert abs(a_d - a_h) < 1e-4 and abs(f_d - f_h) < 1e-4
