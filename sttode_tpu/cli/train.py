@@ -94,6 +94,7 @@ def main(argv=None):
     prev_handler = signal.signal(signal.SIGTERM, _on_term)
 
     epoch = start_epoch
+    saved_epoch = -1
     while epoch < args.num_epochs:
         opt_state = set_lr(opt_state, schedule(epoch) * (
             supervisor.lr_scale if supervisor else 1.0))
@@ -125,10 +126,19 @@ def main(argv=None):
                 cdir, epoch + 1, params, opt_state, cfg,
                 background=getattr(args, "async_ckpt", False),
                 keep_last=getattr(args, "keep_last_ckpts", 0) or None)
+            saved_epoch = epoch + 1
             print(f"saved {path}")
         epoch += 1
         if preempted["flag"]:
-            path = save_checkpoint(cdir, epoch, params, opt_state, cfg)
+            # a save-epoch preemption already has this exact epoch in flight
+            # (possibly async) — writing the same path again would race the
+            # orbax commit-rename; just flush the in-flight one instead
+            from sttode_tpu.train.checkpoint import flush_saves
+            flush_saves()
+            if saved_epoch != epoch:
+                path = save_checkpoint(cdir, epoch, params, opt_state, cfg)
+            else:
+                path = os.path.join(cdir, f"model_{epoch:04d}")
             print(f"preempted: saved {path}; resume with "
                   f"--epoch_continue {epoch}", flush=True)
             break

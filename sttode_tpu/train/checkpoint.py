@@ -82,17 +82,28 @@ def prune_checkpoints(ckpt_dir: str, keep_last: int) -> list[str]:
     reference keeps every 5th-epoch pickle forever; long production runs
     need bounded disk). Returns the removed paths. Only COMMITTED directories
     are considered — an in-flight async save writes to a tmp dir and renames
-    on commit, so it is never a candidate."""
+    on commit, so it is never a candidate. A ``model_%04d`` directory whose
+    ``config.json`` sidecar never landed (crash between orbax commit and
+    sidecar write) is an orphan: unloadable, never listed as committed — it
+    is swept here too, unless its sidecar write is still pending."""
     import shutil
 
-    epochs = checkpoint_epochs(ckpt_dir)
+    abs_dir = os.path.abspath(ckpt_dir)
+    pending = {p for p, _, _ in _pending_sidecars}
     removed = []
-    # keep_last == 0 removes every committed checkpoint (save_checkpoint
-    # calls prune(keep_last - 1) right before writing the newest one)
+    epochs = checkpoint_epochs(ckpt_dir)
     for e in epochs[:-keep_last] if keep_last > 0 else epochs:
-        p = os.path.join(os.path.abspath(ckpt_dir), CKPT_FMT.format(e))
+        p = os.path.join(abs_dir, CKPT_FMT.format(e))
         shutil.rmtree(p, ignore_errors=True)
         removed.append(p)
+    if os.path.isdir(ckpt_dir):
+        for d in os.listdir(ckpt_dir):
+            p = os.path.join(abs_dir, d)
+            if (d.startswith("model_") and d[6:].isdigit()
+                    and p not in pending
+                    and not os.path.exists(os.path.join(p, "config.json"))):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
     return removed
 
 
@@ -107,14 +118,10 @@ def save_checkpoint(ckpt_dir: str, epoch: int, params: Any, opt_state: Any,
     training steps overlap the write; ``wait_for_saves()`` blocks on the
     commit (``load_checkpoint`` of a just-saved path calls it implicitly).
     ``keep_last`` prunes older committed checkpoints down to that count
-    BEFORE the new save starts.
+    AFTER the new one commits — the disk never holds fewer than the
+    checkpoints it held when save started, so a crash mid-save cannot
+    leave the run with zero restore points (even at keep_last=1).
     """
-    if keep_last is not None:
-        # commit any in-flight saves (and their sidecars) first so pruning
-        # only ever sees complete checkpoints, then keep one fewer than
-        # keep_last — the new checkpoint becomes the keep_last-th
-        flush_saves()
-        prune_checkpoints(ckpt_dir, max(keep_last - 1, 0))
     path = os.path.join(os.path.abspath(ckpt_dir), CKPT_FMT.format(epoch))
     payload = {
         "params": params,
@@ -126,21 +133,31 @@ def save_checkpoint(ckpt_dir: str, epoch: int, params: Any, opt_state: Any,
     # NEXT to it until then — write them after save for the sync path, and
     # into the final path after commit for async via a tiny follow-up
     if background:
+        # commit any previous in-flight save (and its sidecars) before
+        # starting a new one: two concurrent orbax writers on one dir can
+        # collide on the staging-dir rename
+        flush_saves()
         ckptr = _get_async_ckptr()
         ckptr.save(path, payload, force=True)
         # sidecar writes must wait for the directory rename; orbax exposes
-        # completion only via wait_until_finished, so defer them there
+        # completion only via wait_until_finished, so defer them there —
+        # and prune only after commit+sidecars (flush_saves does both)
         _pending_sidecars.append((path, _config_to_json(cfg),
                                   json.dumps(extra) if extra else None))
+        if keep_last is not None:
+            _pending_prunes.append((ckpt_dir, keep_last))
         return path
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
     _write_sidecars(path, _config_to_json(cfg),
                     json.dumps(extra) if extra else None)
+    if keep_last is not None:
+        prune_checkpoints(ckpt_dir, max(keep_last, 1))
     return path
 
 
 _pending_sidecars: list[tuple[str, str, str | None]] = []
+_pending_prunes: list[tuple[str, int]] = []
 
 
 def _write_sidecars(path: str, cfg_json: str, extra_json: str | None) -> None:
@@ -153,12 +170,20 @@ def _write_sidecars(path: str, cfg_json: str, extra_json: str | None) -> None:
 
 def flush_saves() -> None:
     """``wait_for_saves`` + write the deferred config/extra sidecars of
-    async checkpoints (their directories exist only after commit)."""
+    async checkpoints (their directories exist only after commit), then run
+    deferred prunes. Entries are popped only after a successful write: if
+    the sidecar write raises (disk full, permission) the entry stays queued
+    so a retry can still complete the checkpoint."""
     wait_for_saves()
     while _pending_sidecars:
-        path, cfg_json, extra_json = _pending_sidecars.pop(0)
+        path, cfg_json, extra_json = _pending_sidecars[0]
         if os.path.isdir(path):   # a pruned checkpoint needs no sidecar
             _write_sidecars(path, cfg_json, extra_json)
+        _pending_sidecars.pop(0)
+    while _pending_prunes:
+        ckpt_dir, keep_last = _pending_prunes[0]
+        prune_checkpoints(ckpt_dir, max(keep_last, 1))
+        _pending_prunes.pop(0)
 
 
 def load_checkpoint(path: str, *, template: Any | None = None):
@@ -192,11 +217,21 @@ def load_checkpoint(path: str, *, template: Any | None = None):
 def _committed_names(ckpt_dir: str) -> list[str]:
     """Checkpoint dir names matching model_%04d EXACTLY — an in-flight async
     save's ``model_XXXX.orbax-checkpoint-tmp-*`` staging dir must not be
-    listed (it would crash int() parsing and could be resumed half-written)."""
+    listed (it would crash int() parsing and could be resumed half-written).
+    A directory missing its ``config.json`` sidecar is also excluded unless
+    the sidecar write is still pending in this process: a crash between the
+    orbax commit-rename and the deferred sidecar write leaves a directory
+    ``load_checkpoint`` cannot load — resume must fall back to the previous
+    complete checkpoint instead of bricking on it."""
     if not os.path.isdir(ckpt_dir):
         return []
-    return sorted(d for d in os.listdir(ckpt_dir)
-                  if d.startswith("model_") and d[6:].isdigit())
+    abs_dir = os.path.abspath(ckpt_dir)
+    pending = {p for p, _, _ in _pending_sidecars}
+    return sorted(
+        d for d in os.listdir(ckpt_dir)
+        if d.startswith("model_") and d[6:].isdigit()
+        and (os.path.exists(os.path.join(abs_dir, d, "config.json"))
+             or os.path.join(abs_dir, d) in pending))
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

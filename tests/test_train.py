@@ -396,14 +396,57 @@ class TestCheckpointAsyncAndRetention:
 
     def test_listing_ignores_staging_dirs(self, tmp_path):
         """An in-flight orbax async save's tmp dir must not be listed as a
-        resumable checkpoint (it parses as garbage and is half-written)."""
+        resumable checkpoint (it parses as garbage and is half-written),
+        and neither may a committed dir whose config.json sidecar never
+        landed (crash between orbax commit and the deferred sidecar write)
+        — resume must fall back to the last COMPLETE checkpoint."""
         from sttode_tpu.train import checkpoint_epochs, latest_checkpoint
         import os
 
         os.makedirs(tmp_path / "model_0004")
+        with open(tmp_path / "model_0004" / "config.json", "w") as f:
+            f.write("{}")
         os.makedirs(tmp_path / "model_0005.orbax-checkpoint-tmp-12345")
+        os.makedirs(tmp_path / "model_0006")   # sidecar-less: crash remains
         assert checkpoint_epochs(str(tmp_path)) == [4]
         assert latest_checkpoint(str(tmp_path)).endswith("model_0004")
+
+    def test_prune_sweeps_sidecarless_orphans(self, rng, tmp_path):
+        """A model_%04d dir with no config.json (crash between commit and
+        sidecar write) is unloadable; prune removes it so it cannot leak
+        disk forever."""
+        from sttode_tpu.train import checkpoint_epochs
+        from sttode_tpu.train.checkpoint import prune_checkpoints
+        import os
+
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        save_checkpoint(str(tmp_path), 1, params, opt_state, cfg)
+        os.makedirs(tmp_path / "model_0002")   # orphan
+        removed = prune_checkpoints(str(tmp_path), keep_last=5)
+        assert any(p.endswith("model_0002") for p in removed)
+        assert not os.path.isdir(tmp_path / "model_0002")
+        assert checkpoint_epochs(str(tmp_path)) == [1]
+
+    def test_async_keep_last_prunes_only_after_commit(self, rng, tmp_path):
+        """With background=True + keep_last=1, the old checkpoint must
+        survive until the NEW one has committed with its sidecars — never a
+        zero-checkpoint window; after flush exactly the newest remains."""
+        from sttode_tpu.train import checkpoint_epochs, flush_saves
+
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        save_checkpoint(str(tmp_path), 1, params, opt_state, cfg)
+        save_checkpoint(str(tmp_path), 2, params, opt_state, cfg,
+                        background=True, keep_last=1)
+        # before flush the previous complete checkpoint is still on disk
+        assert 1 in checkpoint_epochs(str(tmp_path))
+        flush_saves()
+        assert checkpoint_epochs(str(tmp_path)) == [2]
 
     def test_keep_last_one(self, rng, tmp_path):
         """keep_last=1 retains exactly the newest checkpoint (regression:
