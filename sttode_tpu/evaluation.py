@@ -114,11 +114,37 @@ def evaluate_scenes(params, cfg: STTODEConfig, scenes: list[dict], key, *,
             "miss_rate": missed / max(total, 1), "agents": total}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sample_k"))
+def _infer_and_reduce_nba(params, cfg: STTODEConfig, batch: Batch, key,
+                          sample_k: int, traj_scale: float):
+    """Device-side NBA horizon reduction (round-2 VERDICT item 9): the
+    20-sample decode AND every per-horizon best-of-K min/mean collapse run in
+    ONE dispatch; the host receives 2·T scalars instead of K·M·T floats.
+    Returns (avg[T], dest[T]) — per-horizon prefix-ADE and step-FDE means
+    over agents, matching the host-numpy oracle loop below."""
+    import jax.numpy as jnp
+
+    T = cfg.future_length
+    preds = sttode_inference(params, cfg, batch, key, sample_k=sample_k)
+    d = jnp.linalg.norm(preds - batch.future[None], axis=-1) * traj_scale
+    d = jnp.transpose(d, (1, 0, 2))                          # [M, K, T]
+    # prefix means d[:, :, :t+1].mean(-1) for all t at once via cumsum
+    prefix = jnp.cumsum(d, axis=-1) / jnp.arange(1, T + 1)   # [M, K, T]
+    avg = jnp.mean(jnp.min(prefix, axis=1), axis=0)          # [T]
+    dest = jnp.mean(jnp.min(d, axis=1), axis=0)              # [T]
+    return avg, dest
+
+
 def evaluate_nba(params, cfg: STTODEConfig, batches: Iterable[dict], key, *,
-                 sample_k: int = 20, traj_scale: float = 1.0) -> dict:
+                 sample_k: int = 20, traj_scale: float = 1.0,
+                 device_reduce: bool = True) -> dict:
     """NBA horizon table (reference test_model_all, test.py:495-588): per-agent
     best-of-K prefix ADE / step FDE at each 0.4s horizon; 1.0s/3.0s reported as
-    the mean of the two adjacent prefixes."""
+    the mean of the two adjacent prefixes.
+
+    ``device_reduce=True`` (default) runs the per-horizon reductions inside
+    the jitted dispatch; False keeps the host-numpy loop — the oracle the
+    device path is locked against (tests/test_evaluation.py)."""
     T = cfg.future_length
     if T != 10:
         raise ValueError(
@@ -128,19 +154,35 @@ def evaluate_nba(params, cfg: STTODEConfig, batches: Iterable[dict], key, *,
     avg_acc = np.zeros(T)
     dest_acc = np.zeros(T)
     n_scenes = 0
-    for data in batches:
-        batch = prepare_nba_batch(data)
-        batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
-        key, sub = jax.random.split(key)
-        preds = np.asarray(_infer(params, cfg, batch, sub, sample_k))
-        preds = np.transpose(preds, (1, 0, 2, 3)) * traj_scale  # [M, K, T, 2]
-        gt = np.asarray(batch.future) * traj_scale              # [M, T, 2]
-        d = np.linalg.norm(preds - gt[:, None], axis=-1)        # [M, K, T]
-        B = batch.batch_size
-        for t in range(T):
-            avg_acc[t] += d[:, :, :t + 1].mean(-1).min(-1).mean() * B
-            dest_acc[t] += d[:, :, t].min(-1).mean() * B
-        n_scenes += B
+    if device_reduce:
+        # accumulate device values; materialize once after the loop
+        pairs = []
+        weights = []
+        for data in batches:
+            batch = prepare_nba_batch(data)
+            batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+            key, sub = jax.random.split(key)
+            pairs.append(_infer_and_reduce_nba(params, cfg, batch, sub,
+                                               sample_k, float(traj_scale)))
+            weights.append(batch.batch_size)
+            n_scenes += batch.batch_size
+        for (avg, dest), B in zip(pairs, weights):
+            avg_acc += np.asarray(avg) * B
+            dest_acc += np.asarray(dest) * B
+    else:
+        for data in batches:
+            batch = prepare_nba_batch(data)
+            batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+            key, sub = jax.random.split(key)
+            preds = np.asarray(_infer(params, cfg, batch, sub, sample_k))
+            preds = np.transpose(preds, (1, 0, 2, 3)) * traj_scale
+            gt = np.asarray(batch.future) * traj_scale          # [M, T, 2]
+            d = np.linalg.norm(preds - gt[:, None], axis=-1)    # [M, K, T]
+            B = batch.batch_size
+            for t in range(T):
+                avg_acc[t] += d[:, :, :t + 1].mean(-1).min(-1).mean() * B
+                dest_acc[t] += d[:, :, t].min(-1).mean() * B
+            n_scenes += B
     avg = avg_acc / max(n_scenes, 1)
     dest = dest_acc / max(n_scenes, 1)
     return {

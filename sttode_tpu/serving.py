@@ -37,14 +37,39 @@ class Predictor:
 
     >>> pred = Predictor(params, cfg)
     >>> samples = pred.predict(obs)        # obs [N, T_p, 2] → [K, N, T_f, 2]
+
+    With a trained stage-2 sampler (``sampler_params``/``sampler_cfg``), the
+    K samples come from the DLow diversity flow over the frozen net
+    (reference test_sampler.py:117-212) instead of prior draws — the strictly
+    better production path (CONVERGENCE.md two-stage studies: ADE 0.4468 vs
+    0.4602). The flow is deterministic (mean=True, z=b), so per-scene RNG
+    keys only affect the stage-1 fallback.
     """
 
     def __init__(self, params, cfg: STTODEConfig, *,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 sample_k: int | None = None, max_group: int = 16):
+                 sample_k: int | None = None, max_group: int = 16,
+                 sampler_params=None, sampler_cfg=None):
         self.params = jax.device_put(params)
         self.cfg = cfg
         self.buckets = tuple(buckets)
+        if (sampler_params is None) != (sampler_cfg is None):
+            raise ValueError("pass sampler_params AND sampler_cfg together")
+        self.sampler_cfg = sampler_cfg
+        self.sampler_params = None
+        if sampler_params is not None:
+            if sampler_cfg.nz != cfg.zdim:
+                # same fail-fast as cli/trainsampler: a mismatched flow
+                # decodes garbage latents silently
+                raise ValueError(
+                    f"sampler nz {sampler_cfg.nz} must equal the net's "
+                    f"zdim {cfg.zdim}")
+            self.sampler_params = jax.device_put(sampler_params)
+            if sample_k is not None and sample_k != sampler_cfg.nk:
+                raise ValueError(
+                    f"sample_k {sample_k} conflicts with the sampler's "
+                    f"nk {sampler_cfg.nk} (the flow emits exactly nk samples)")
+            sample_k = sampler_cfg.nk
         self.sample_k = sample_k or cfg.sample_k
         self.max_group = max_group   # cap scenes per device call (compile
                                      # churn + HBM bound for request bursts)
@@ -53,6 +78,20 @@ class Predictor:
 
     def _infer_fn(self):
         cfg, K = self.cfg, self.sample_k
+
+        if self.sampler_params is not None:
+            from sttode_tpu.models.sampler import sampler_forward
+            scfg = self.sampler_cfg
+
+            @jax.jit
+            def fn(params, batch, key, sp):
+                out = sampler_forward(sp, params, scfg, cfg, batch, key,
+                                      mean=True)
+                # dec_motion [M, K, T, 2] → the stage-1 contract [K, M, T, 2]
+                return jnp.transpose(out.dec_motion, (1, 0, 2, 3))
+
+            return lambda params, batch, key: fn(params, batch, key,
+                                                 self.sampler_params)
 
         @functools.partial(jax.jit, static_argnames=())
         def fn(params, batch, key):

@@ -109,7 +109,7 @@ class TestNbaHorizon:
                 [{"past_traj": rng.standard_normal((B, N, 5, 2)).astype(
                     np.float32),
                   "future_traj": fut.reshape(B, N, T, 2)}],
-                jax.random.PRNGKey(1), sample_k=K)
+                jax.random.PRNGKey(1), sample_k=K, device_reduce=False)
         finally:
             ev._infer = orig_infer
 
@@ -128,6 +128,28 @@ class TestNbaHorizon:
             table["fde"]["3.0s"], (dest_at(7) + dest_at(8)) / 2, rtol=1e-5)
         np.testing.assert_allclose(table["fde"]["4.0s"], dest_at(10),
                                    rtol=1e-5)
+
+    def test_device_reduce_matches_host_oracle(self, rng):
+        """The in-dispatch per-horizon reduction (round-2 VERDICT item 9)
+        equals the host-numpy loop on every table entry, including the
+        traj_scale factor."""
+        cfg = tiny_cfg()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        B, N = 3, 11
+        batches = [{
+            "past_traj": rng.standard_normal((B, N, 5, 2)).astype(np.float32),
+            "future_traj": rng.standard_normal((B, N, 10, 2)).astype(
+                np.float32),
+        } for _ in range(2)]
+        t_dev = evaluate_nba(params, cfg, batches, jax.random.PRNGKey(1),
+                             sample_k=3, traj_scale=1.7, device_reduce=True)
+        t_host = evaluate_nba(params, cfg, batches, jax.random.PRNGKey(1),
+                              sample_k=3, traj_scale=1.7, device_reduce=False)
+        assert t_dev["scenes"] == t_host["scenes"] == 6
+        for metric in ("ade", "fde"):
+            for h in ("1.0s", "2.0s", "3.0s", "4.0s"):
+                np.testing.assert_allclose(t_dev[metric][h], t_host[metric][h],
+                                           rtol=1e-5)
 
 
 class TestSamplerEvalDeviceReduce:

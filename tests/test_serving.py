@@ -66,3 +66,70 @@ def test_single_agent_2d_input_rejected(predictor):
     phantom agents (review fix)."""
     with pytest.raises(ValueError, match=r"obs\[None\]"):
         predictor.predict(np.zeros((8, 2), np.float32))
+
+
+class TestSamplerServing:
+    """Stage-2 serving (round-2 VERDICT item 5): the Predictor decodes via
+    the DLow flow and matches sampler_forward's own numbers."""
+
+    @pytest.fixture(scope="class")
+    def two_stage(self):
+        from sttode_tpu.models.sampler import SamplerConfig, sampler_init
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           past_length=8, future_length=12, sample_k=4)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        scfg = SamplerConfig(nk=5, nz=8)
+        sp = sampler_init(jax.random.PRNGKey(1), scfg,
+                          pred_model_dim=cfg.hidden_dim,
+                          past_feature_dim=2 * cfg.hidden_dim)
+        return params, cfg, sp, scfg
+
+    def test_sampler_k_and_shapes(self, two_stage, rng):
+        params, cfg, sp, scfg = two_stage
+        pred = Predictor(params, cfg, sampler_params=sp, sampler_cfg=scfg)
+        obs = rng.standard_normal((3, 8, 2)).astype(np.float32)
+        out = pred.predict(obs, seed=1)
+        assert out.shape == (scfg.nk, 3, 12, 2)   # nk samples, not sample_k
+        assert np.all(np.isfinite(out))
+
+    def test_matches_sampler_forward(self, two_stage, rng):
+        """The served samples equal a direct sampler_forward(mean=True)
+        decode on the same prepared batch, plus the scene origin."""
+        from sttode_tpu.data.preprocess import prepare_scene_group
+        from sttode_tpu.models.sampler import sampler_forward
+        import jax.numpy as jnp
+
+        params, cfg, sp, scfg = two_stage
+        pred = Predictor(params, cfg, sampler_params=sp, sampler_cfg=scfg)
+        obs = rng.standard_normal((4, 8, 2)).astype(np.float32)
+        out = pred.predict(obs, seed=0)
+
+        o = np.zeros((1, 8, 8, 2), np.float32)
+        valid = np.zeros((1, 8), np.float32)
+        o[0, :4], valid[0, :4] = obs, 1.0
+        batch, origs = prepare_scene_group(
+            o, np.zeros((1, 8, 12, 2), np.float32), valid, training=False)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        ref = sampler_forward(sp, params, scfg, cfg, batch,
+                              jax.random.PRNGKey(9), mean=True).dec_motion
+        ref = np.transpose(np.asarray(ref), (1, 0, 2, 3))[:, :4] + \
+            origs[0][None, None, None]
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_mismatched_nz_rejected(self, two_stage):
+        from sttode_tpu.models.sampler import SamplerConfig, sampler_init
+        params, cfg, sp, _ = two_stage
+        bad = SamplerConfig(nk=5, nz=cfg.zdim + 1)
+        with pytest.raises(ValueError, match="zdim"):
+            Predictor(params, cfg, sampler_params=sp, sampler_cfg=bad)
+
+    def test_conflicting_sample_k_rejected(self, two_stage):
+        params, cfg, sp, scfg = two_stage
+        with pytest.raises(ValueError, match="nk"):
+            Predictor(params, cfg, sampler_params=sp, sampler_cfg=scfg,
+                      sample_k=scfg.nk + 1)
+
+    def test_sampler_params_without_cfg_rejected(self, two_stage):
+        params, cfg, sp, _ = two_stage
+        with pytest.raises(ValueError, match="together"):
+            Predictor(params, cfg, sampler_params=sp)
