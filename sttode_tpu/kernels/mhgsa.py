@@ -431,18 +431,31 @@ _FLASH_TILE_S = 512
 _LSE_LANES = 128          # per-row stats are carried in (tile, 128) blocks
 
 
-def _flash_tile_scores(q_block, k_block, ki: int, tile_s: int, s_real: int):
+def _flash_tile_scores(q_block, k_block, ki: int, tile_s: int, s_real: int,
+                       val_row=None):
     """Per-tile normalize + ``_scores`` with the block's global column
-    offset."""
+    offset. ``val_row`` [1, TS] (1 = real key) additionally disables
+    user-masked key columns (agent-validity masks at long context —
+    round-2 VERDICT item 6); padding is already folded into it by the
+    caller, the iota predicate stays as the maskless path's guard."""
     qn, q_norm = _normalize_rows(q_block)
     kn, _ = _normalize_rows(k_block)
     g, gc, s = _scores(qn, kn, s_real, col_offset=ki * tile_s)
+    if val_row is not None:
+        s = jnp.where(val_row > 0, s, NEG_INF)
     return qn, q_norm, kn, g, gc, s
 
 
 def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int,
-                           metric: str = "oblique", curvature: float = 1.0):
-    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
+                           metric: str = "oblique", curvature: float = 1.0,
+                           has_val: bool = False):
+    def kernel(q_ref, k_ref, v_ref, *rest):
+        if has_val:
+            val_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+            val_row = val_ref[...]
+        else:
+            o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+            val_row = None
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
@@ -454,11 +467,17 @@ def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int,
         if metric == "poincare":
             s = _poincare_scores(q_ref[0], k_ref[0], curvature, s_real,
                                  col_offset=ki * tile_s)
+            if val_row is not None:
+                s = jnp.where(val_row > 0, s, NEG_INF)
         else:
             _, _, _, _, _, s = _flash_tile_scores(q_ref[0], k_ref[0], ki,
-                                                  tile_s, s_real)
+                                                  tile_s, s_real, val_row)
         m_prev = m_scr[...][:, :1]                        # [TL, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        # floor the running max: a FULLY invalid tile (possible once kv_valid
+        # can zero whole tiles) would otherwise leave m_new = NEG_INF and
+        # exp(s - m_new) = exp(0) = 1 for every masked column
+        m_new = jnp.maximum(m_new, 0.5 * NEG_INF)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)                            # [TL, TS]
         l_new = l_scr[...][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
@@ -476,12 +495,15 @@ def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int,
 
 
 def _make_flash_poincare_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
-                                   c: float):
+                                   c: float, has_val: bool = False):
     """dq sweep for the poincare metric: accumulates the Gram-side term
     dg·kb across k-tiles plus the scalar dx2 row sums; assembles
     dq = Σ dg·kb + 2·dx2⊙qb at the last tile."""
-    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dqg_scr, dx2_scr):
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest):
+        if has_val:
+            val_ref, dq_ref, dqg_scr, dx2_scr = rest
+        else:
+            dq_ref, dqg_scr, dx2_scr = rest
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
@@ -493,6 +515,8 @@ def _make_flash_poincare_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
         pieces = _poincare_pieces(qb, kb, c)
         s = _poincare_score_from_pieces(pieces[-1], c, s_real,
                                         col_offset=ki * tile_s)
+        if has_val:
+            s = jnp.where(val_ref[...] > 0, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0][:, :1])
         dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
@@ -507,12 +531,15 @@ def _make_flash_poincare_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
 
 
 def _make_flash_poincare_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
-                                    c: float):
+                                    c: float, has_val: bool = False):
     """dk/dv sweep for the poincare metric (grid (B, k_tiles, q_tiles)):
     accumulates dgᵀ·qb, pᵀ·do and the scalar dy2 column sums over q-tiles;
     assembles dk = Σ dgᵀ·qb + 2·dy2⊙kb at the last q-tile."""
-    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dk_ref, dv_ref, dkg_scr, dv_scr, dy2_scr):
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest):
+        if has_val:
+            val_ref, dk_ref, dv_ref, dkg_scr, dv_scr, dy2_scr = rest
+        else:
+            dk_ref, dv_ref, dkg_scr, dv_scr, dy2_scr = rest
         ki = pl.program_id(1)
         qi = pl.program_id(2)
 
@@ -526,6 +553,8 @@ def _make_flash_poincare_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
         pieces = _poincare_pieces(qb, kb, c)
         s = _poincare_score_from_pieces(pieces[-1], c, s_real,
                                         col_offset=ki * tile_s)
+        if has_val:
+            s = jnp.where(val_ref[...] > 0, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0][:, :1])
         dv_scr[...] += _dot(p, do_ref[0], ((0,), (0,)))
         dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
@@ -541,9 +570,15 @@ def _make_flash_poincare_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
     return kernel
 
 
-def _make_flash_dq_kernel(s_real: int, n_ktiles: int, tile_s: int):
-    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dqn_scr):
+def _make_flash_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
+                          has_val: bool = False):
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest):
+        if has_val:
+            val_ref, dq_ref, dqn_scr = rest
+            val_row = val_ref[...]
+        else:
+            dq_ref, dqn_scr = rest
+            val_row = None
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
@@ -551,7 +586,7 @@ def _make_flash_dq_kernel(s_real: int, n_ktiles: int, tile_s: int):
             dqn_scr[...] = jnp.zeros_like(dqn_scr)
 
         qn, q_norm, kn, g, gc, s = _flash_tile_scores(
-            q_ref[0], k_ref[0], ki, tile_s, s_real)
+            q_ref[0], k_ref[0], ki, tile_s, s_real, val_row)
         p = jnp.exp(s - lse_ref[0][:, :1])                # [TL, TS]
         dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
@@ -566,12 +601,18 @@ def _make_flash_dq_kernel(s_real: int, n_ktiles: int, tile_s: int):
     return kernel
 
 
-def _make_flash_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int):
+def _make_flash_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
+                           has_val: bool = False):
     """Grid (B, k_tiles, q_tiles) — q innermost so dk/dv accumulate per
     k-tile in scratch; the k-side normalize VJP applies in-kernel once the
     q sweep completes (the accumulated dk̂ is then total)."""
-    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dk_ref, dv_ref, dkn_scr, dv_scr):
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest):
+        if has_val:
+            val_ref, dk_ref, dv_ref, dkn_scr, dv_scr = rest
+            val_row = val_ref[...]
+        else:
+            dk_ref, dv_ref, dkn_scr, dv_scr = rest
+            val_row = None
         ki = pl.program_id(1)
         qi = pl.program_id(2)
 
@@ -581,7 +622,7 @@ def _make_flash_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int):
             dv_scr[...] = jnp.zeros_like(dv_scr)
 
         qn, _, kn, g, gc, s = _flash_tile_scores(
-            q_ref[0], k_ref[0], ki, tile_s, s_real)
+            q_ref[0], k_ref[0], ki, tile_s, s_real, val_row)
         p = jnp.exp(s - lse_ref[0][:, :1])
         dv_scr[...] += _dot(p, do_ref[0], ((0,), (0,)))
         dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
@@ -618,27 +659,37 @@ def _flash_specs(tile_l, tile_s, Dp):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_core(q, k, v, interpret, metric="oblique", curvature=1.0):
-    out, _ = _flash_fwd(q, k, v, interpret, metric, curvature)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core(q, k, v, val, interpret, metric="oblique", curvature=1.0):
+    out, _ = _flash_fwd(q, k, v, val, interpret, metric, curvature)
     return out
 
 
-def _flash_fwd(q, k, v, interpret, metric="oblique", curvature=1.0):
+def _flash_fwd(q, k, v, val, interpret, metric="oblique", curvature=1.0):
     qp, kp, vp, dims = _flash_pad(q, k, v)
     B = qp.shape[0]
     L, S, Dh, Lp, Sp, Dp = dims
     tl, ts = _FLASH_TILE_L, _FLASH_TILE_S
     n_k = Sp // ts
     grid = (B, Lp // tl, n_k)
+    has_val = val is not None
     spec_row = pl.BlockSpec((1, tl, Dp), lambda b, qi, ki: (b, qi, 0),
                             memory_space=pltpu.VMEM)
     spec_lse = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, qi, ki: (b, qi, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = _flash_specs(tl, ts, Dp)
+    args = [qp, kp, vp]
+    if has_val:
+        # padding folds into the validity row (zeros beyond S), so the
+        # kernel's single predicate handles both
+        valp = jnp.zeros((B, Sp), jnp.float32).at[:, :S].set(val)
+        in_specs.append(pl.BlockSpec((1, ts), lambda b, qi, ki: (b, ki),
+                                     memory_space=pltpu.VMEM))
+        args.append(valp)
     out, lse = pl.pallas_call(
-        _make_flash_fwd_kernel(S, n_k, ts, metric, curvature),
+        _make_flash_fwd_kernel(S, n_k, ts, metric, curvature, has_val),
         grid=grid,
-        in_specs=_flash_specs(tl, ts, Dp),
+        in_specs=in_specs,
         out_specs=[spec_row, spec_lse],
         out_shape=[jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
                    jax.ShapeDtypeStruct((B, Lp, _LSE_LANES), jnp.float32)],
@@ -646,44 +697,55 @@ def _flash_fwd(q, k, v, interpret, metric="oblique", curvature=1.0):
                         pltpu.VMEM((tl, _LSE_LANES), jnp.float32),
                         pltpu.VMEM((tl, Dp), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp)
-    return out[:, :L, :Dh], (q, k, v, out[:, :L, :Dh], lse)
+    )(*args)
+    return out[:, :L, :Dh], (q, k, v, val, out[:, :L, :Dh], lse)
 
 
 def _flash_bwd(interpret, metric, curvature, res, do):
-    q, k, v, out, lse = res
+    q, k, v, val, out, lse = res
     qp, kp, vp, dims = _flash_pad(q, k, v)
     B = qp.shape[0]
     L, S, Dh, Lp, Sp, Dp = dims
     tl, ts = _FLASH_TILE_L, _FLASH_TILE_S
     n_q, n_k = Lp // tl, Sp // ts
+    has_val = val is not None
     dop = jnp.zeros((B, Lp, Dp), jnp.float32).at[:, :L, :Dh].set(do)
     # delta_i = Σ_d do_id · out_id == rowsum(dP ⊙ P) (flash identity) — the
     # softmax-VJP row correction, computed once outside the kernels
     delta = jnp.sum(do.astype(jnp.float32) * out, axis=-1)          # [B, L]
     deltap = jnp.zeros((B, Lp), jnp.float32).at[:, :L].set(delta)
     deltap = jnp.broadcast_to(deltap[..., None], (B, Lp, _LSE_LANES))
+    valp = None
+    if has_val:
+        valp = jnp.zeros((B, Sp), jnp.float32).at[:, :S].set(val)
 
     spec_row = pl.BlockSpec((1, tl, Dp), lambda b, qi, ki: (b, qi, 0),
                             memory_space=pltpu.VMEM)
     spec_lse = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, qi, ki: (b, qi, 0),
                             memory_space=pltpu.VMEM)
     if metric == "poincare":
-        dq_kernel = _make_flash_poincare_dq_kernel(S, n_k, ts, curvature)
+        dq_kernel = _make_flash_poincare_dq_kernel(S, n_k, ts, curvature,
+                                                   has_val)
         dq_scratch = [pltpu.VMEM((tl, Dp), jnp.float32),
                       pltpu.VMEM((tl, _LSE_LANES), jnp.float32)]
     else:
-        dq_kernel = _make_flash_dq_kernel(S, n_k, ts)
+        dq_kernel = _make_flash_dq_kernel(S, n_k, ts, has_val)
         dq_scratch = [pltpu.VMEM((tl, Dp), jnp.float32)]
+    dq_specs = _flash_specs(tl, ts, Dp) + [spec_row, spec_lse, spec_lse]
+    dq_args = [qp, kp, vp, dop, lse, deltap]
+    if has_val:
+        dq_specs.append(pl.BlockSpec((1, ts), lambda b, qi, ki: (b, ki),
+                                     memory_space=pltpu.VMEM))
+        dq_args.append(valp)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(B, n_q, n_k),
-        in_specs=_flash_specs(tl, ts, Dp) + [spec_row, spec_lse, spec_lse],
+        in_specs=dq_specs,
         out_specs=spec_row,
         out_shape=jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
         scratch_shapes=dq_scratch,
         interpret=interpret,
-    )(qp, kp, vp, dop, lse, deltap)
+    )(*dq_args)
 
     # dk/dv sweep: grid reorders to (B, k_tiles, q_tiles)
     spec_q2 = pl.BlockSpec((1, tl, Dp), lambda b, ki, qi: (b, qi, 0),
@@ -693,37 +755,50 @@ def _flash_bwd(interpret, metric, curvature, res, do):
     spec_lse2 = pl.BlockSpec((1, tl, _LSE_LANES), lambda b, ki, qi: (b, qi, 0),
                              memory_space=pltpu.VMEM)
     if metric == "poincare":
-        dkv_kernel = _make_flash_poincare_dkv_kernel(S, n_q, ts, curvature)
+        dkv_kernel = _make_flash_poincare_dkv_kernel(S, n_q, ts, curvature,
+                                                     has_val)
         dkv_scratch = [pltpu.VMEM((ts, Dp), jnp.float32),
                        pltpu.VMEM((ts, Dp), jnp.float32),
                        pltpu.VMEM((ts, _LSE_LANES), jnp.float32)]
     else:
-        dkv_kernel = _make_flash_dkv_kernel(S, n_q, ts)
+        dkv_kernel = _make_flash_dkv_kernel(S, n_q, ts, has_val)
         dkv_scratch = [pltpu.VMEM((ts, Dp), jnp.float32),
                        pltpu.VMEM((ts, Dp), jnp.float32)]
+    dkv_specs = [spec_q2, spec_k2, spec_k2, spec_q2, spec_lse2, spec_lse2]
+    dkv_args = [qp, kp, vp, dop, lse, deltap]
+    if has_val:
+        dkv_specs.append(pl.BlockSpec((1, ts), lambda b, ki, qi: (b, ki),
+                                      memory_space=pltpu.VMEM))
+        dkv_args.append(valp)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(B, n_k, n_q),
-        in_specs=[spec_q2, spec_k2, spec_k2, spec_q2, spec_lse2, spec_lse2],
+        in_specs=dkv_specs,
         out_specs=[spec_k2, spec_k2],
         out_shape=[jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32),
                    jax.ShapeDtypeStruct((B, Sp, Dp), jnp.float32)],
         scratch_shapes=dkv_scratch,
         interpret=interpret,
-    )(qp, kp, vp, dop, lse, deltap)
-    return (dq[:, :L, :Dh], dk[:, :S, :Dh], dv[:, :S, :Dh])
+    )(*dkv_args)
+    d_val = None if val is None else jnp.zeros_like(val)
+    return (dq[:, :L, :Dh], dk[:, :S, :Dh], dv[:, :S, :Dh], d_val)
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                             *, interpret: bool | None = None,
+                             *, kv_valid: jnp.ndarray | None = None,
+                             interpret: bool | None = None,
                              metric: str = "oblique",
                              curvature: float = 1.0) -> jnp.ndarray:
     """S-tiled MHGSA: softmax_j(score(q_i, k_j))·V with online softmax —
-    context length bounded by HBM, not VMEM. Maskless (padding is handled by
-    the in-kernel column predicate); route masked attention to
+    context length bounded by HBM, not VMEM.
+
+    ``kv_valid`` [..., S] (1 = real key, broadcastable over the leading dims)
+    disables masked key columns inside the kernel (round-2 VERDICT item 6) —
+    the key-validity mask form is all the model ever needs (its agent mask is
+    exactly this); arbitrary additive biases still route to
     ``fused_geodesic_attention`` or the jnp path.
 
     ``metric``: "oblique" (-acos) or "poincare" (Möbius geodesic distance at
@@ -741,7 +816,11 @@ def flash_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q3 = q.reshape(B, L, Dh).astype(jnp.float32)
     k3 = k.reshape(B, S, Dh).astype(jnp.float32)
     v3 = v.reshape(B, S, Dh).astype(jnp.float32)
-    out = _flash_core(q3, k3, v3, interpret, metric, float(curvature))
+    val = None
+    if kv_valid is not None:
+        val = jnp.broadcast_to(kv_valid, (*lead, S)) \
+            .reshape(B, S).astype(jnp.float32)
+    out = _flash_core(q3, k3, v3, val, interpret, metric, float(curvature))
     return out.reshape(*lead, L, Dh)
 
 

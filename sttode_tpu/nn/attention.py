@@ -123,29 +123,49 @@ def geodesic_scores(q: jnp.ndarray, k: jnp.ndarray, *,
     return -oblique.dist(qn, kn)          # [..., L, S]
 
 
-def _kernel_route(q, k, mask, dropout_active: bool, need_weights: bool,
-                  fused: str | bool) -> str | None:
+def _kv_valid_mask(kv_valid, q):
+    """Additive mask from key validity, aligned to the score shape
+    [..., (H,) L, S]: insert broadcast axes before S until kv_valid aligns
+    with q's batch(+head) dims, then add the query-row axis."""
+    kvv = kv_valid
+    while kvv.ndim < q.ndim - 1:
+        kvv = kvv[..., None, :]
+    neg = jnp.asarray(jnp.finfo(q.dtype).min, q.dtype)
+    return jnp.where(kvv[..., None, :] > 0, 0.0, neg)
+
+
+def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
+                  need_weights: bool, fused: str | bool,
+                  metric: str) -> str | None:
     """Pick the Pallas execution path, or None for jnp/XLA fusion.
 
+    - "packed" (head-packed small-shape kernel) at the model's own hot shape:
+      L·S < 256² with an explicit head axis whose H·Dh ≤ 128 — heads pack
+      into the lane dim so Dh=8 stops padding 16× on the MXU and the [L,S]
+      score tiles stop wasting 3/4 of their lanes (measured ~3.7× over XLA
+      fusion fwd and ~2× fwd+bwd at B352·H8·L32·S32·D8 on v5e). Oblique
+      metric; masks in key-validity form only.
     - "fused" (whole-S-in-VMEM kernel) where it measured faster than XLA
       fusion: large score matrices, L·S ≥ 256², up to its VMEM ceiling
-      S ≈ 2k. At model scale (L=S≤128, Dh=8) XLA wins ~3× because the tiny
-      head dim pads 16× on the MXU — measured on v5e.
+      S ≈ 2k.
     - "flash" (S-tiled online-softmax kernel) beyond that ceiling — context
-      bounded by HBM, not VMEM; maskless only (padding is in-kernel). For
-      contexts that outgrow one chip entirely, the ring/sequence-parallel
-      path is the tool.
+      bounded by HBM, not VMEM; masks in key-validity form only (in-kernel
+      column predicate). For contexts that outgrow one chip entirely, the
+      ring/sequence-parallel path is the tool.
     """
     if fused is True:
         return "fused"
-    if fused == "flash":
-        return "flash"
+    if fused in ("flash", "packed"):
+        return fused
     if fused != "auto" or dropout_active or need_weights:
         return None
     if jax.default_backend() != "tpu":
         return None
     L, S = q.shape[-2], k.shape[-2]
     if L * S < 256 * 256:
+        if (metric == "oblique" and mask is None and q.ndim >= 4
+                and q.shape[-3] * q.shape[-1] <= 128):
+            return "packed"
         return None
     if S > 2048:
         return "flash" if mask is None else None
@@ -253,22 +273,37 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             mesh, axis=ring_axis, kv_valid=val, metric=metric,
             curvature=curvature)
         return out.reshape(*lead, L, Dh), None
-    if kv_valid is not None and mask is None:
-        neg = jnp.asarray(jnp.finfo(q.dtype).min, q.dtype)
-        mask = jnp.where(kv_valid[..., None, :] > 0, 0.0, neg)
-    route = _kernel_route(q, k, mask, dropout_active, need_weights, fused)
+    square = q.shape[-2] == k.shape[-2]
+    swapped = compat == "reference" and square
+    if kv_valid is not None and mask is None and swapped:
+        # under the Q3 swapped orientation "key validity" would mark the
+        # wrong axis inside the swapped kernels — express it as an additive
+        # mask on the unswapped scores instead (dense/fused path)
+        mask = _kv_valid_mask(kv_valid, q)
+        kv_valid = None
+    route = _kernel_route(q, k, mask, kv_valid, dropout_active, need_weights,
+                          fused, metric)
     if route is not None:
         from sttode_tpu.kernels.mhgsa import (flash_geodesic_attention,
                                               fused_geodesic_attention)
-        square = q.shape[-2] == k.shape[-2]
-        qq, kk = (k, q) if (compat == "reference" and square) else (q, k)
+        from sttode_tpu.kernels.packed_mhgsa import packed_geodesic_attention
+        qq, kk = (k, q) if swapped else (q, k)
+        if route == "packed":
+            if mask is not None:
+                raise ValueError(
+                    "packed kernel supports key-validity masks only; pass "
+                    "kv_valid instead of an additive mask, or fused=False")
+            # kv_valid carries no head axis (it is [batch..., S], shared by
+            # the heads the kernel packs into lanes) — pass through as-is
+            return packed_geodesic_attention(qq, kk, v,
+                                             kv_valid=kv_valid), None
         if route == "flash" and mask is not None:
             # not an assert: under python -O an assert would vanish and
             # the mask would be silently dropped
             raise ValueError(
-                "flash kernel is maskless; use fused=True (S ≤ ~2k), "
-                "fused=False, or fused='auto' (which never routes masked "
-                "attention to flash)")
+                "flash kernel supports key-validity masks only; pass "
+                "kv_valid instead of an additive mask, or use fused=True "
+                "(S ≤ ~2k) / fused=False")
         if metric == "poincare":
             # ball map outside the kernels: its autodiff stays in XLA, the
             # custom VJPs cover the Gram-closed-form score epilogue
@@ -276,13 +311,23 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             qq = pmath.project(pmath.expmap0(qq, c=curvature), c=curvature)
             kk = pmath.project(pmath.expmap0(kk, c=curvature), c=curvature)
         if route == "flash":
-            out = flash_geodesic_attention(qq, kk, v, metric=metric,
+            kvv = kv_valid
+            if kvv is not None:
+                while kvv.ndim < qq.ndim - 1:   # insert axes before S (e.g.
+                    kvv = kvv[..., None, :]     # the head axis)
+            out = flash_geodesic_attention(qq, kk, v, kv_valid=kvv,
+                                           metric=metric,
                                            curvature=curvature)
         else:
+            if kv_valid is not None and mask is None:
+                mask = _kv_valid_mask(kv_valid, qq)
             out = fused_geodesic_attention(qq, kk, v, mask=mask,
                                            metric=metric,
                                            curvature=curvature)
         return out, None
+
+    if kv_valid is not None and mask is None:
+        mask = _kv_valid_mask(kv_valid, q)
 
     scores = geodesic_scores(q, k, compat=compat, metric=metric,
                              curvature=curvature)

@@ -25,16 +25,27 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int | None = None, tp: int = 1,
+def make_mesh(dp: int | None = None, tp: int = 1, sp: int = 1,
               devices=None) -> Mesh:
     """Mesh of shape [dp, tp] over the available devices (axes "data",
-    "model")."""
+    "model").
+
+    ``sp > 1`` adds a sequence-parallel axis between them — a 3-axis
+    [dp, sp, tp] mesh ("data", "seq", "model") on which data parallelism and
+    ring/ulysses sequence parallelism COMPOSE: the batch shards over "data"
+    while attention token axes shard over "seq" (the SP attention paths
+    auto-route their collectives onto "seq" when the axis exists). ``sp == 1``
+    keeps the 2-axis layout every existing caller expects."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
+        dp = n // (tp * sp)
+    assert dp * tp * sp <= n, \
+        f"mesh {dp}x{sp}x{tp} needs {dp*tp*sp} devices, have {n}"
+    if sp > 1:
+        grid = np.asarray(devices[:dp * sp * tp]).reshape(dp, sp, tp)
+        return Mesh(grid, axis_names=("data", "seq", "model"))
     grid = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(grid, axis_names=("data", "model"))
 

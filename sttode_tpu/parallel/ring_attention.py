@@ -57,16 +57,21 @@ def _map_to_ball(x, metric: str, curvature: float):
 
 
 def _ring_body(q, k0, v0, axis_name: str, kv_valid0=None,
-               metric: str = "oblique", curvature: float = 1.0):
+               metric: str = "oblique", curvature: float = 1.0,
+               varying: tuple = ()):
     """Runs inside shard_map: q local [B, L, D]; k0/v0 local KV shard
     [B, Sb, D]; kv_valid0 [B, Sb] 1/0 marks real tokens of the local shard.
     For the poincare metric q/k0 are already ball points (mapped once by the
-    wrapper — the rotation only moves shards, never re-maps values)."""
+    wrapper — the rotation only moves shards, never re-maps values).
+    ``varying`` names every mesh axis the inputs vary over (the ring axis
+    plus, on the dp×sp mesh, the batch axis) — scan carries must be typed
+    varying over all of them."""
     n = jax.lax.psum(1, axis_name)
     B, L, D = q.shape
     Sb = k0.shape[1]
+    varying = varying or (axis_name,)
     if kv_valid0 is None:
-        kv_valid0 = jax.lax.pvary(jnp.ones((B, Sb), q.dtype), axis_name)
+        kv_valid0 = jax.lax.pvary(jnp.ones((B, Sb), q.dtype), varying)
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -89,12 +94,27 @@ def _ring_body(q, k0, v0, axis_name: str, kv_valid0=None,
 
     # initial accumulators must be typed as device-varying for the scan carry
     # (shard_map varying-manual-axes typing)
-    m0 = jax.lax.pvary(jnp.full((B, L), NEG_INF, q.dtype), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((B, L), q.dtype), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros((B, L, D), q.dtype), axis_name)
+    m0 = jax.lax.pvary(jnp.full((B, L), NEG_INF, q.dtype), varying)
+    l0 = jax.lax.pvary(jnp.zeros((B, L), q.dtype), varying)
+    acc0 = jax.lax.pvary(jnp.zeros((B, L, D), q.dtype), varying)
     (_, _, _, m, l, acc), _ = jax.lax.scan(
         step, (k0, v0, kv_valid0, m0, l0, acc0), None, length=n)
     return acc / jnp.maximum(l, 1e-30)[..., None]
+
+
+def resolve_sp_axes(mesh: Mesh, axis: str) -> tuple[str, str | None]:
+    """(token_axis, batch_axis) for the SP paths on this mesh.
+
+    On a 3-axis dp×sp×tp mesh (``make_mesh(sp=...)``) the token collectives
+    ride the dedicated "seq" axis and the batch shards over "data" — DP and
+    SP compose (round-2 VERDICT item 3). On the 2-axis mesh the historical
+    layout stands: tokens over ``axis`` (default "data"), batch replicated.
+    """
+    if axis == "data" and "seq" in mesh.axis_names:
+        axis = "seq"
+    batch_axis = "data" if axis != "data" and "data" in mesh.axis_names \
+        else None
+    return axis, batch_axis
 
 
 def ring_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -105,29 +125,34 @@ def ring_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Sequence-parallel MHGSA core over ``mesh[axis]``.
 
     q [B, L, D], k/v [B, S, D] with S divisible by the axis size; the token
-    axes of q and k/v are sharded, batch replicated. Returns [B, L, D] sharded
-    like q. Numerics match the dense softmax(scores)·V to fp32 tolerance for
-    both metrics ("oblique" -acos, "poincare" Möbius geodesic distance at
-    curvature c).
+    axes of q and k/v are sharded. On a 3-axis mesh ("data", "seq", "model")
+    the token axis rides "seq" and the batch axis shards over "data"
+    (DP×SP); on the 2-axis mesh batch is replicated. Returns [B, L, D]
+    sharded like q. Numerics match the dense softmax(scores)·V to fp32
+    tolerance for both metrics ("oblique" -acos, "poincare" Möbius geodesic
+    distance at curvature c).
     """
+    axis, b_ax = resolve_sp_axes(mesh, axis)
     n = mesh.shape[axis]
     assert k.shape[1] % n == 0, f"S={k.shape[1]} must divide over {axis}={n}"
     assert q.shape[1] % n == 0, f"L={q.shape[1]} must divide over {axis}={n}"
 
     q = _map_to_ball(q, metric, curvature)
     k = _map_to_ball(k, metric, curvature)
+    varying = (axis,) if b_ax is None else (b_ax, axis)
     body = functools.partial(_ring_body, axis_name=axis, metric=metric,
-                             curvature=curvature)
-    specs_in = (P(None, axis, None), P(None, axis, None), P(None, axis, None))
+                             curvature=curvature, varying=varying)
+    spec = P(b_ax, axis, None)
+    specs_in = (spec, spec, spec)
     if kv_valid is not None:
         fn = jax.shard_map(
             lambda q, k, v, val: body(q, k, v, kv_valid0=val),
-            mesh=mesh, in_specs=specs_in + (P(None, axis),),
-            out_specs=P(None, axis, None))
+            mesh=mesh, in_specs=specs_in + (P(b_ax, axis),),
+            out_specs=spec)
         return fn(q, k, v, kv_valid)
     fn = jax.shard_map(lambda q, k, v: body(q, k, v),
                        mesh=mesh, in_specs=specs_in,
-                       out_specs=P(None, axis, None))
+                       out_specs=spec)
     return fn(q, k, v)
 
 

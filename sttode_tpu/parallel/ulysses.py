@@ -84,6 +84,8 @@ def ulysses_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray,
     to fp32 tolerance for both metrics ("oblique" -acos, "poincare" Möbius
     geodesic distance at curvature c).
     """
+    from sttode_tpu.parallel.ring_attention import resolve_sp_axes
+    axis, b_ax = resolve_sp_axes(mesh, axis)
     n = mesh.shape[axis]
     H, L, S = q.shape[1], q.shape[2], k.shape[2]
     assert H % n == 0, f"heads H={H} must divide over {axis}={n}"
@@ -94,11 +96,11 @@ def ulysses_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray,
     k = _map_to_ball(k, metric, curvature)
     body = functools.partial(_ulysses_body, axis_name=axis, metric=metric,
                              curvature=curvature)
-    spec_tok = P(None, None, axis, None)
+    spec_tok = P(b_ax, None, axis, None)
     if kv_valid is not None:
         fn = jax.shard_map(
             lambda q, k, v, val: body(q, k, v, kv_valid=val),
-            mesh=mesh, in_specs=(spec_tok, spec_tok, spec_tok, P(None, axis)),
+            mesh=mesh, in_specs=(spec_tok, spec_tok, spec_tok, P(b_ax, axis)),
             out_specs=spec_tok)
         return fn(q, k, v, kv_valid)
     fn = jax.shard_map(lambda q, k, v: body(q, k, v),

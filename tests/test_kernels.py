@@ -177,17 +177,67 @@ class TestFlash:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5, err_msg=f"d{name}")
 
+    def test_kv_valid_matches_dense_masked_oracle(self, rng):
+        """Flash with kv_valid equals the dense additive-masked path,
+        including a FULLY masked k-tile (exercises the running-max floor)
+        and masked-column gradients (round-2 VERDICT item 6)."""
+        B, L, S, Dh = 1, 12, 520, 8          # Sp=1024 → 2 k-tiles
+        q = jnp.asarray(rng.standard_normal((B, L, Dh)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, Dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, Dh)), jnp.float32)
+        # columns ≥ 100 invalid → the second tile is ENTIRELY invalid
+        kv = jnp.ones((B, S)).at[:, 100:].set(0.0)
+        neg = jnp.finfo(jnp.float32).min
+        mask = jnp.where(kv[:, None, :] > 0, 0.0, neg)
+        w = jnp.asarray(rng.standard_normal((B, L, Dh)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_geodesic_attention(
+                q, k, v, kv_valid=kv, interpret=True) * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(ref_attention(q, k, v, mask=mask) * w)
+
+        np.testing.assert_allclose(
+            np.asarray(flash_geodesic_attention(q, k, v, kv_valid=kv,
+                                                interpret=True)),
+            np.asarray(ref_attention(q, k, v, mask=mask)), atol=3e-5)
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, err_msg=f"d{name}")
+
+    def test_kv_valid_via_public_route(self, rng):
+        """geodesic_attention(fused='flash', kv_valid=...) reaches the
+        kernel (no ValueError) and matches the dense path."""
+        q = jnp.asarray(rng.standard_normal((2, 4, 10, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 4, 40, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 4, 40, 8)), jnp.float32)
+        kv = jnp.ones((2, 40)).at[:, -7:].set(0.0)
+        out, _ = geodesic_attention(q, k, v, kv_valid=kv, compat="tpu",
+                                    fused="flash")
+        neg = jnp.finfo(jnp.float32).min
+        mask = jnp.where(kv[:, None, None, :] > 0, 0.0, neg)
+        ref, _ = geodesic_attention(q, k, v, mask=mask, compat="tpu",
+                                    fused=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
     def test_routing_beyond_vmem_cap(self, rng):
         """fused='auto' with S > 2048 and no mask selects the flash path."""
         from sttode_tpu.nn.attention import _kernel_route
         q = jnp.zeros((1, 256, 8))
         k = jnp.zeros((1, 4096, 8))
-        assert _kernel_route(q, k, None, False, False, "auto") in \
+        assert _kernel_route(q, k, None, None, False, False, "auto",
+                             "oblique") in \
             (None, "flash")  # None off-TPU; flash on TPU
         if jax.default_backend() == "tpu":
-            assert _kernel_route(q, k, None, False, False, "auto") == "flash"
+            assert _kernel_route(q, k, None, None, False, False, "auto",
+                                 "oblique") == "flash"
         mask = jnp.zeros((1, 256, 4096))
-        assert _kernel_route(q, k, mask, False, False, "auto") != "flash"
+        assert _kernel_route(q, k, mask, None, False, False, "auto",
+                             "oblique") != "flash"
 
 
 class TestPoincareFusedKernel:
