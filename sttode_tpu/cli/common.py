@@ -68,8 +68,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "step's dominant HBM traffic) with fp32 accumulate; "
                         "attention Gram / losses stay fp32")
     p.add_argument("--attn_impl", default="auto",
-                   choices=("auto", "dense", "fused", "flash", "ring",
-                            "ulysses"),
+                   choices=("auto", "dense", "fused", "flash", "packed",
+                            "ring", "ulysses"),
                    help="attention kernel route; 'ring'/'ulysses' = the two "
                         "sequence-parallel shard_map paths over the mesh's "
                         "data axis (K/V ppermute ring vs head<->token "

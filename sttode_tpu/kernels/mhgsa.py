@@ -207,9 +207,14 @@ def _make_fwd_kernel(s_real: int, has_mask: bool, metric: str = "oblique",
             _, _, s = _scores(qn, kn, s_real)
         if has_mask:
             s = s + mask_ref[0]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # Maxless softmax: geodesic scores are CLAMP-BOUNDED above by 0 and
+        # below by the clip/artanh constants (oblique ∈ [-π, 0]; poincaré
+        # ≥ -(2/√c)·artanh(1-1e-5)), so exp cannot overflow and valid lanes
+        # cannot underflow — the running-max pass is pure VPU waste here.
+        # Masked lanes are exp(-1e30) = 0 exactly; an all-masked row hits
+        # the denominator floor and outputs 0.
+        e = jnp.exp(s)
+        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
         o_ref[0] = _dot(p, v_ref[0], ((1,), (0,)))
     return kernel
 
@@ -237,9 +242,11 @@ def _make_bwd_kernel(s_real: int, has_mask: bool, metric: str = "oblique",
             g, gc, s = _scores(qn, kn, s_real)
         if has_mask:
             s = s + mask_ref[0]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)           # [TL, S]
+        # maxless softmax recompute (see _make_fwd_kernel: scores are
+        # clamp-bounded, the running max is VPU waste)
+        e = jnp.exp(s)
+        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                            1e-30)                           # [TL, S]
 
         dp = _dot(do, v, ((1,), (1,)))
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
@@ -449,18 +456,26 @@ def _flash_tile_scores(q_block, k_block, ki: int, tile_s: int, s_real: int,
 def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int,
                            metric: str = "oblique", curvature: float = 1.0,
                            has_val: bool = False):
+    """Maxless streaming softmax: geodesic scores are CLAMP-BOUNDED above by
+    0 and below by the clip/artanh constants (oblique ∈ [-π, 0]; poincaré
+    ≥ -(2/√c)·artanh(1-1e-5)), so exp can neither overflow nor underflow on
+    valid lanes — the classic online-max machinery (running m, α-rescale of
+    l and acc every tile) is pure VPU cost with zero numerical benefit here
+    and is dropped. Masked/padded lanes are exp(-1e30) = 0 exactly; a row
+    with no valid key hits the denominator floor and outputs 0. The emitted
+    per-row statistic is still the true LSE (= log Σe), so the backward
+    replay kernels are unchanged."""
     def kernel(q_ref, k_ref, v_ref, *rest):
         if has_val:
-            val_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+            val_ref, o_ref, lse_ref, l_scr, acc_scr = rest
             val_row = val_ref[...]
         else:
-            o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+            o_ref, lse_ref, l_scr, acc_scr = rest
             val_row = None
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _():
-            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -472,25 +487,16 @@ def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int,
         else:
             _, _, _, _, _, s = _flash_tile_scores(q_ref[0], k_ref[0], ki,
                                                   tile_s, s_real, val_row)
-        m_prev = m_scr[...][:, :1]                        # [TL, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        # floor the running max: a FULLY invalid tile (possible once kv_valid
-        # can zero whole tiles) would otherwise leave m_new = NEG_INF and
-        # exp(s - m_new) = exp(0) = 1 for every masked column
-        m_new = jnp.maximum(m_new, 0.5 * NEG_INF)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                            # [TL, TS]
-        l_new = l_scr[...][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * alpha + _dot(p, v_ref[0], ((1,), (0,)))
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        p = jnp.exp(s)                                    # [TL, TS]
+        l_new = l_scr[...][:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] += _dot(p, v_ref[0], ((1,), (0,)))
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
         @pl.when(ki == n_ktiles - 1)
         def _():
             l = jnp.maximum(l_scr[...][:, :1], 1e-30)
             o_ref[0] = acc_scr[...] / l
-            lse = m_scr[...][:, :1] + jnp.log(l)
-            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+            lse_ref[0] = jnp.broadcast_to(jnp.log(l), lse_ref.shape[1:])
     return kernel
 
 
@@ -694,7 +700,6 @@ def _flash_fwd(q, k, v, val, interpret, metric="oblique", curvature=1.0):
         out_shape=[jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
                    jax.ShapeDtypeStruct((B, Lp, _LSE_LANES), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((tl, _LSE_LANES), jnp.float32),
-                        pltpu.VMEM((tl, _LSE_LANES), jnp.float32),
                         pltpu.VMEM((tl, Dp), jnp.float32)],
         interpret=interpret,
     )(*args)

@@ -67,7 +67,9 @@ class STTODEConfig(NamedTuple):
     compat: str = "reference"     # score orientation + mask handling (Q2/Q3)
     attn_axis: str = "scene"      # "scene" (reference, Q4) | "agent"
     attn_impl: str = "auto"       # attention kernel route: "auto" | "dense" |
-                                  # "fused" | "flash" (Pallas) | "ring" |
+                                  # "fused" | "flash" | "packed" (Pallas;
+                                  # packed = the head-packed small-shape
+                                  # kernel auto picks at model scale) | "ring" |
                                   # "ulysses" (the sequence-parallel
                                   # shard_map paths over the mesh's "data"
                                   # axis — ring rotates K/V shards via
@@ -123,8 +125,8 @@ class STTODEConfig(NamedTuple):
             "attn_axis='agent' requires compat='tpu' (see _encode_trunk)"
         assert self.ode_method in ("euler", "midpoint", "rk4", "dopri5"), \
             self.ode_method
-        assert self.attn_impl in ("auto", "dense", "fused", "flash", "ring",
-                                  "ulysses"), self.attn_impl
+        assert self.attn_impl in ("auto", "dense", "fused", "flash", "packed",
+                                  "ring", "ulysses"), self.attn_impl
         assert self.compute_dtype in ("float32", "bfloat16"), \
             self.compute_dtype
         assert self.attn_metric in ("oblique", "poincare"), self.attn_metric

@@ -142,9 +142,10 @@ def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
     - "packed" (head-packed small-shape kernel) at the model's own hot shape:
       L·S < 256² with an explicit head axis whose H·Dh ≤ 128 — heads pack
       into the lane dim so Dh=8 stops padding 16× on the MXU and the [L,S]
-      score tiles stop wasting 3/4 of their lanes (measured ~3.7× over XLA
-      fusion fwd and ~2× fwd+bwd at B352·H8·L32·S32·D8 on v5e). Oblique
-      metric; masks in key-validity form only.
+      score tiles stop wasting 3/4 of their lanes. Measured on v5e at
+      B352·H8·L32·S32·D8: fwd 425 µs vs XLA 461, fwd+bwd 1281 vs 1537
+      (the whole-S fused kernel loses this shape ~3× — BENCHMARKS.md).
+      Oblique metric; masks in key-validity form only.
     - "fused" (whole-S-in-VMEM kernel) where it measured faster than XLA
       fusion: large score matrices, L·S ≥ 256², up to its VMEM ceiling
       S ≈ 2k.

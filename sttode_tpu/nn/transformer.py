@@ -142,7 +142,8 @@ class LayerConfig(NamedTuple):
 
 
 _ATTN_IMPL_TO_FUSED = {"auto": "auto", "dense": False, "fused": True,
-                       "flash": "flash", "ring": "ring", "ulysses": "ulysses"}
+                       "flash": "flash", "packed": "packed",
+                       "ring": "ring", "ulysses": "ulysses"}
 
 
 def _ffn_init(key, d_model: int, ff_dim: int, dtype=jnp.float32) -> FFNParams:

@@ -27,17 +27,59 @@ def _plt():
     return plt
 
 
+# Per-dataset camera-frame conventions (reference show.py:140-260): ETH and
+# Hotel render with world axes SWAPPED (the reference scatters (y, x)) and
+# upside-down camera extents; UCY scenes render unswapped on the [0,15]x[0,14]
+# student/zara frames. ``extent`` is matplotlib's [left, right, bottom, top]
+# for the background image — an inverted pair encodes the y-flip exactly as
+# the reference's hard-coded imshow calls do. figsize matches show_eth's
+# per-dataset subplots.
+SCENE_PRESETS = {
+    "eth": {"swap_xy": True, "extent": (-9, 20, 12.5, -3),
+            "figsize": (6.40, 4.80)},
+    "hotel": {"swap_xy": True, "extent": (-10, 5, 5.8, -7),
+              "figsize": (7.20, 5.76)},
+    "univ": {"swap_xy": False, "extent": (0, 15, 0, 14),
+             "figsize": (7.20, 5.76)},
+    "zara1": {"swap_xy": False, "extent": (0, 15, 0, 14),
+              "figsize": (7.20, 5.76)},
+    "zara2": {"swap_xy": False, "extent": (0, 15, 0, 14),
+              "figsize": (7.20, 5.76)},
+}
+
+
+def scene_preset(dataset: str) -> dict:
+    """Reference show.py rendering convention for ``dataset`` (empty dict for
+    datasets without one — SDD/NBA have their own plotters)."""
+    return dict(SCENE_PRESETS.get(dataset, {}))
+
+
 def plot_scene(obs: np.ndarray, gt: np.ndarray | None = None,
                pred: np.ndarray | None = None, *, save_path: str | None = None,
                background: np.ndarray | None = None,
                extent: tuple | None = None, flip_y: bool = False,
+               swap_xy: bool = False, figsize: tuple = (8, 6),
+               dataset: str | None = None,
                title: str | None = None):
     """obs [N, T_p, 2]; gt [N, T_f, 2]; pred [N, T_f, 2] (one sample).
-    Returns the figure (saved + closed if save_path given)."""
+    Returns the figure (saved + closed if save_path given).
+
+    ``dataset`` applies the reference's per-dataset camera-frame preset
+    (axis swap + background extent + figure size, ``SCENE_PRESETS``);
+    explicit ``extent``/``swap_xy``/``figsize`` arguments win over it."""
+    if dataset is not None and dataset in SCENE_PRESETS:
+        preset = SCENE_PRESETS[dataset]
+        swap_xy = preset["swap_xy"] if not swap_xy else swap_xy
+        extent = preset["extent"] if extent is None else extent
+        figsize = preset["figsize"] if figsize == (8, 6) else figsize
+    if swap_xy:
+        obs = obs[..., ::-1]
+        gt = None if gt is None else gt[..., ::-1]
+        pred = None if pred is None else pred[..., ::-1]
     plt = _plt()
-    fig, ax = plt.subplots(figsize=(8, 6))
+    fig, ax = plt.subplots(figsize=figsize)
     if background is not None:
-        ax.imshow(background, extent=extent)
+        ax.imshow(background, extent=extent, aspect="auto")
     for i in range(obs.shape[0]):
         ax.plot(obs[i, :, 0], obs[i, :, 1], "-o", color="tab:blue",
                 markersize=2, linewidth=1, alpha=0.8,
@@ -57,7 +99,10 @@ def plot_scene(obs: np.ndarray, gt: np.ndarray | None = None,
     if title:
         ax.set_title(title)
     ax.legend(loc="best", fontsize=8)
-    ax.set_aspect("equal", adjustable="datalim")
+    if background is None:
+        # camera-frame presets keep the reference's aspect='auto'; pure
+        # trajectory plots stay metric
+        ax.set_aspect("equal", adjustable="datalim")
     if save_path:
         fig.savefig(save_path, bbox_inches="tight", dpi=120)
         plt.close(fig)

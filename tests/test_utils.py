@@ -21,6 +21,24 @@ class TestVisualize:
         visualize.plot_scene(obs, gt, pred, save_path=out, title="t")
         assert os.path.getsize(out) > 1000
 
+    def test_plot_scene_dataset_presets(self, rng, tmp_path):
+        """Per-dataset camera-frame presets (reference show.py conventions):
+        eth/hotel swap axes and use the upside-down camera extents; ucy
+        scenes render unswapped."""
+        from sttode_tpu.utils.visualize import scene_preset
+
+        assert scene_preset("eth")["swap_xy"] is True
+        assert scene_preset("zara1") == {"swap_xy": False,
+                                         "extent": (0, 15, 0, 14),
+                                         "figsize": (7.20, 5.76)}
+        assert scene_preset("nba") == {}
+        obs = rng.standard_normal((2, 8, 2))
+        bg = rng.random((10, 10, 3)).astype(np.float32)
+        out = str(tmp_path / "eth.png")
+        fig = visualize.plot_scene(obs, save_path=out, background=bg,
+                                   dataset="eth")
+        assert os.path.exists(out)
+
     def test_plot_best_of_k(self, rng, tmp_path):
         obs = rng.standard_normal((2, 8, 2))
         gt = rng.standard_normal((2, 12, 2))
