@@ -70,16 +70,23 @@ class _Structural:
     mseg_hs [HSp, HSp] block-ones over Sp-lane groups (segmented softmax sums)
     rv      [HSp, Sp]  R^T (sublane-tiling / un-tiling by matmul)
     mhead_v [HSp, HD]  1{head(row) = head(col)} (block-diag gate, V_bd form)
+
+    ``factorized``: mseg_hs is quadratic in H·Sp (4 MB of VMEM at HSp=1024);
+    beyond HSp=512 it is replaced by an 8×128 placeholder and the segmented
+    sums run as mhead_v·mhead_k/Dh instead (two thin matmuls — see
+    ``_make_seg_hs``), which is exact: (x·mhead_v)[i,(h,d)] = Σ_{head(j)=h}
+    x[i,j] independent of d, and ·mhead_k broadcasts it back Dh times.
     """
 
-    def __init__(self, H: int, Dh: int, Sp: int):
+    def __init__(self, H: int, Dh: int, Sp: int, factorized: bool = False):
         HD, HSp = H * Dh, H * Sp
         r_hd = np.arange(HD)
         r_hs = np.arange(HSp)
         self.mseg_hd = (r_hd[:, None] // Dh == r_hd[None, :] // Dh)
         self.r_tile = (np.arange(Sp)[:, None] == r_hs[None, :] % Sp)
         self.mhead_k = (r_hd[:, None] // Dh == r_hs[None, :] // Sp)
-        self.mseg_hs = (r_hs[:, None] // Sp == r_hs[None, :] // Sp)
+        self.mseg_hs = np.zeros((8, 128)) if factorized else \
+            (r_hs[:, None] // Sp == r_hs[None, :] // Sp)
         self.rv = self.r_tile.T
         self.mhead_v = self.mhead_k.T
 
@@ -97,13 +104,14 @@ def _norm_rows_seg(x, mseg_hd):
     return x / jnp.maximum(norm, NORM_FLOOR), norm
 
 
-def _masked_exp_scores(qn_all, kn_all, val, st, G, Lp, Sp):
-    """Shared fwd/bwd recompute: per-problem Gram + acos scores + masked exp,
-    concatenated back into row blocks. Returns (g_cat [G·Lp, HSp],
-    e_cat [G·Lp, HSp])."""
+def _masked_exp_scores(qn_all, kn_all, val, st, g0, n, Lp, Sp,
+                       want_g: bool = False):
+    """Shared fwd/bwd recompute for problems [g0, g0+n): per-problem Gram +
+    acos scores + masked exp, concatenated back into row blocks. Returns
+    (g_cat [n·Lp, HSp] or None, e_cat [n·Lp, HSp])."""
     _, r_tile, mhead_k, _, _, _ = st
     gs, es = [], []
-    for g in range(G):
+    for g in range(g0, g0 + n):
         kn = kn_all[g * Sp:(g + 1) * Sp]
         kbd = _dot(kn, r_tile, ((0,), (0,))) * mhead_k       # [HD, HSp]
         gg = _dot(qn_all[g * Lp:(g + 1) * Lp], kbd, ((1,), (0,)))
@@ -111,86 +119,123 @@ def _masked_exp_scores(qn_all, kn_all, val, st, G, Lp, Sp):
         # masking as a multiply on exp: exp(-acos) ∈ [e^-π, 1] is finite, so
         # e·0 ≡ exp(score + NEG_INF) without materializing masked scores
         e = jnp.exp(-_acos(gc)) * val[g:g + 1, :]
-        gs.append(gg)
+        if want_g:
+            gs.append(gg)
         es.append(e)
-    return jnp.concatenate(gs, axis=0), jnp.concatenate(es, axis=0)
+    g_cat = jnp.concatenate(gs, axis=0) if want_g else None
+    return g_cat, jnp.concatenate(es, axis=0)
 
 
-def _make_packed_fwd_kernel(G: int, Lp: int, Sp: int):
+def _make_seg_hs(st, Dh: int, factorized: bool):
+    """Segmented row-sum over Sp-lane groups, broadcast back over each group:
+    one matmul against the block-ones mseg_hs, or — when that matrix is too
+    big for VMEM — two thin matmuls against the block-diag head gates
+    (exactly Dh× the segment sum, hence the 1/Dh)."""
+    _, _, mhead_k, mseg_hs, _, mhead_v = st
+    if factorized:
+        return lambda x: _dot(_dot(x, mhead_v, ((1,), (0,))),
+                              mhead_k, ((1,), (0,))) * (1.0 / Dh)
+    return lambda x: _dot(x, mseg_hs, ((1,), (0,)))
+
+
+def _make_packed_fwd_kernel(G: int, C: int, Dh: int, Lp: int, Sp: int,
+                            factorized: bool):
+    """``C`` problems are processed per sequential in-kernel chunk (C | G):
+    every [·, HSp] score-sized temporary is chunk-local and its output rows
+    are stored before the next chunk's temporaries go live, bounding the
+    Mosaic VMEM stack at fat shapes (at the flagship shape C == G and the
+    program is the fully batched one)."""
     def kernel(q_ref, k_ref, v_ref, val_ref, mseg_hd_ref, r_tile_ref,
                mhead_k_ref, mseg_hs_ref, rv_ref, mhead_v_ref, o_ref):
         st = (mseg_hd_ref[...], r_tile_ref[...], mhead_k_ref[...],
               mseg_hs_ref[...], rv_ref[...], mhead_v_ref[...])
-        mseg_hd, _, _, mseg_hs, rv, mhead_v = st
+        mseg_hd, _, _, _, rv, mhead_v = st
+        seg_hs = _make_seg_hs(st, Dh, factorized)
         qn_all, _ = _norm_rows_seg(q_ref[...], mseg_hd)      # [G·Lp, HD]
         kn_all, _ = _norm_rows_seg(k_ref[...], mseg_hd)      # [G·Sp, HD]
         v_all = v_ref[...]
-        _, e_cat = _masked_exp_scores(qn_all, kn_all, val_ref[...], st,
-                                      G, Lp, Sp)
-        denom = _dot(e_cat, mseg_hs, ((1,), (0,)))           # batched
-        p_cat = e_cat / jnp.maximum(denom, 1e-30)
-        outs = []
-        for g in range(G):
-            vbd = _dot(rv, v_all[g * Sp:(g + 1) * Sp],
-                       ((1,), (0,))) * mhead_v               # [HSp, HD]
-            outs.append(_dot(p_cat[g * Lp:(g + 1) * Lp], vbd, ((1,), (0,))))
-        o_ref[...] = jnp.concatenate(outs, axis=0)
+        val = val_ref[...]
+        for c0 in range(0, G, C):
+            _, e_cat = _masked_exp_scores(qn_all, kn_all, val, st,
+                                          c0, C, Lp, Sp)
+            denom = seg_hs(e_cat)                            # chunk-batched
+            p_cat = e_cat / jnp.maximum(denom, 1e-30)
+            outs = []
+            for j in range(C):
+                g = c0 + j
+                vbd = _dot(rv, v_all[g * Sp:(g + 1) * Sp],
+                           ((1,), (0,))) * mhead_v           # [HSp, HD]
+                outs.append(_dot(p_cat[j * Lp:(j + 1) * Lp], vbd,
+                                 ((1,), (0,))))
+            o_ref[c0 * Lp:(c0 + C) * Lp] = jnp.concatenate(outs, axis=0)
     return kernel
 
 
-def _make_packed_bwd_kernel(G: int, Lp: int, Sp: int):
+def _make_packed_bwd_kernel(G: int, C: int, Dh: int, Lp: int, Sp: int,
+                            factorized: bool):
+    """Chunked like the forward (see _make_packed_fwd_kernel): the backward
+    holds ~2× more live score-sized temporaries per problem, so its C is
+    chosen separately (usually smaller)."""
     def kernel(q_ref, k_ref, v_ref, val_ref, do_ref,
                mseg_hd_ref, r_tile_ref, mhead_k_ref, mseg_hs_ref,
                rv_ref, mhead_v_ref, dq_ref, dk_ref, dv_ref):
         st = (mseg_hd_ref[...], r_tile_ref[...], mhead_k_ref[...],
               mseg_hs_ref[...], rv_ref[...], mhead_v_ref[...])
-        mseg_hd, r_tile, mhead_k, mseg_hs, rv, mhead_v = st
+        mseg_hd, r_tile, mhead_k, _, rv, mhead_v = st
+        seg_hs = _make_seg_hs(st, Dh, factorized)
         qn_all, q_norm = _norm_rows_seg(q_ref[...], mseg_hd)
         kn_all, k_norm = _norm_rows_seg(k_ref[...], mseg_hd)
         v_all, do_all = v_ref[...], do_ref[...]
-        g_cat, e_cat = _masked_exp_scores(qn_all, kn_all, val_ref[...], st,
-                                          G, Lp, Sp)
-        denom = _dot(e_cat, mseg_hs, ((1,), (0,)))
-        p_cat = e_cat / jnp.maximum(denom, 1e-30)
-        # dv and dp need the per-problem V_bd
-        dps, dvs = [], []
-        for g in range(G):
-            sl_l = slice(g * Lp, (g + 1) * Lp)
-            sl_s = slice(g * Sp, (g + 1) * Sp)
-            vbd = _dot(rv, v_all[sl_s], ((1,), (0,))) * mhead_v
-            dps.append(_dot(do_all[sl_l], vbd, ((1,), (1,))))
-            dvbd = _dot(p_cat[sl_l], do_all[sl_l], ((0,), (0,)))
-            dvs.append(_dot(rv, dvbd * mhead_v, ((0,), (0,))))
-        dp_cat = jnp.concatenate(dps, axis=0)                # [G·Lp, HSp]
-        # softmax VJP with the segmented row correction (batched)
-        rowseg = _dot(dp_cat * p_cat, mseg_hs, ((1,), (0,)))
-        ds = p_cat * (dp_cat - rowseg)
-        # -acos VJP incl. the clip gate (batched)
-        gc = jnp.clip(g_cat, -1.0 + EPS, 1.0 - EPS)
-        inside = jnp.abs(g_cat) < (1.0 - EPS)
-        dg_cat = jnp.where(inside, ds * jax.lax.rsqrt(
-            jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)
-        dqns, dkns = [], []
-        for g in range(G):
-            sl_l = slice(g * Lp, (g + 1) * Lp)
-            sl_s = slice(g * Sp, (g + 1) * Sp)
-            dg = dg_cat[sl_l]
-            # dq̂ = dg·K_bd2 with K_bd2[(h,s),(h,d)] = k̂[s,(h,d)]
-            kbd2 = _dot(rv, kn_all[sl_s], ((1,), (0,))) * mhead_v
-            dqns.append(_dot(dg, kbd2, ((1,), (0,))))
-            # dk̂ via dK_bd = q̂ᵀ·dg, un-tiled back to [Sp, HD]
-            dkbd = _dot(qn_all[sl_l], dg, ((0,), (0,)))      # [HD, HSp]
-            dkns.append(_dot(r_tile, dkbd * mhead_k, ((1,), (1,))))
-        dqn_cat = jnp.concatenate(dqns, axis=0)
-        dkn_cat = jnp.concatenate(dkns, axis=0)
-        # row-normalize VJPs, segment sums batched over the whole block
-        dq_ref[...] = (dqn_cat - qn_all * _dot(
-            dqn_cat * qn_all, mseg_hd, ((1,), (0,)))) \
-            / jnp.maximum(q_norm, NORM_FLOOR)
-        dk_ref[...] = (dkn_cat - kn_all * _dot(
-            dkn_cat * kn_all, mseg_hd, ((1,), (0,)))) \
-            / jnp.maximum(k_norm, NORM_FLOOR)
-        dv_ref[...] = jnp.concatenate(dvs, axis=0)
+        val = val_ref[...]
+        for c0 in range(0, G, C):
+            sl_cl = slice(c0 * Lp, (c0 + C) * Lp)
+            sl_cs = slice(c0 * Sp, (c0 + C) * Sp)
+            g_cat, e_cat = _masked_exp_scores(qn_all, kn_all, val, st,
+                                              c0, C, Lp, Sp, want_g=True)
+            denom = seg_hs(e_cat)
+            p_cat = e_cat / jnp.maximum(denom, 1e-30)
+            # dv and dp need the per-problem V_bd
+            dps, dvs = [], []
+            for j in range(C):
+                sl_l = slice(j * Lp, (j + 1) * Lp)
+                sl_s = slice((c0 + j) * Sp, (c0 + j + 1) * Sp)
+                do_g = do_all[(c0 + j) * Lp:(c0 + j + 1) * Lp]
+                vbd = _dot(rv, v_all[sl_s], ((1,), (0,))) * mhead_v
+                dps.append(_dot(do_g, vbd, ((1,), (1,))))
+                dvbd = _dot(p_cat[sl_l], do_g, ((0,), (0,)))
+                dvs.append(_dot(rv, dvbd * mhead_v, ((0,), (0,))))
+            dp_cat = jnp.concatenate(dps, axis=0)            # [C·Lp, HSp]
+            # softmax VJP with the segmented row correction (chunk-batched)
+            rowseg = seg_hs(dp_cat * p_cat)
+            ds = p_cat * (dp_cat - rowseg)
+            # -acos VJP incl. the clip gate (chunk-batched)
+            gc = jnp.clip(g_cat, -1.0 + EPS, 1.0 - EPS)
+            inside = jnp.abs(g_cat) < (1.0 - EPS)
+            dg_cat = jnp.where(inside, ds * jax.lax.rsqrt(
+                jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)
+            dqns, dkns = [], []
+            for j in range(C):
+                sl_l = slice(j * Lp, (j + 1) * Lp)
+                sl_s = slice((c0 + j) * Sp, (c0 + j + 1) * Sp)
+                dg = dg_cat[sl_l]
+                # dq̂ = dg·K_bd2 with K_bd2[(h,s),(h,d)] = k̂[s,(h,d)]
+                kbd2 = _dot(rv, kn_all[sl_s], ((1,), (0,))) * mhead_v
+                dqns.append(_dot(dg, kbd2, ((1,), (0,))))
+                # dk̂ via dK_bd = q̂ᵀ·dg, un-tiled back to [Sp, HD]
+                dkbd = _dot(qn_all[c0 * Lp + j * Lp:
+                                   c0 * Lp + (j + 1) * Lp], dg,
+                            ((0,), (0,)))                    # [HD, HSp]
+                dkns.append(_dot(r_tile, dkbd * mhead_k, ((1,), (1,))))
+            dqn_cat = jnp.concatenate(dqns, axis=0)
+            dkn_cat = jnp.concatenate(dkns, axis=0)
+            # row-normalize VJPs, segment sums batched over the chunk
+            dq_ref[sl_cl] = (dqn_cat - qn_all[sl_cl] * _dot(
+                dqn_cat * qn_all[sl_cl], mseg_hd, ((1,), (0,)))) \
+                / jnp.maximum(q_norm[sl_cl], NORM_FLOOR)
+            dk_ref[sl_cs] = (dkn_cat - kn_all[sl_cs] * _dot(
+                dkn_cat * kn_all[sl_cs], mseg_hd, ((1,), (0,)))) \
+                / jnp.maximum(k_norm[sl_cs], NORM_FLOOR)
+            dv_ref[sl_cs] = jnp.concatenate(dvs, axis=0)
     return kernel
 
 
@@ -213,7 +258,7 @@ def _pack_pad(q, k, v, val, G: int):
             vp.reshape(Bp * Sp, HD), valp, (B, L, S, HD, Bp, Lp, Sp))
 
 
-def _grid_specs(G, Lp, Sp, HD, H):
+def _grid_specs(G, Lp, Sp, HD, H, factorized):
     HSp = H * Sp
     spec_q = pl.BlockSpec((G * Lp, HD), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -226,13 +271,65 @@ def _grid_specs(G, Lp, Sp, HD, H):
     def _const(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
-    st = _Structural(H, HD // H, Sp)
+    st = _Structural(H, HD // H, Sp, factorized)
     st_arrays = st.arrays()
     st_specs = [_const(a.shape) for a in st_arrays]
     return spec_q, spec_k, spec_val, st_arrays, st_specs
 
 
 _PACKED_G = 8     # problems per grid step (unrolled in-kernel)
+_VMEM_BUDGET = 13 * 1024 * 1024   # vs the 16 MB scoped-VMEM limit, with
+                                  # headroom for Mosaic's own spills
+_FACTORIZE_HSP = 512              # beyond this, mseg_hs (4·HSp² bytes) is
+                                  # dropped for the two-matmul segment sum
+
+
+def _vmem_plan(G, Lp, Sp, HD, H, n_temps, extra_blocks=0):
+    """(C, factorized, fits): largest chunk C | G whose estimated VMEM stack
+    fits the budget. The estimate counts the grid-step input blocks
+    (+``extra_blocks`` q-sized ones, e.g. the backward's do), the whole-block
+    q̂/k̂/norm copies, the structural constants, and ``n_temps`` live
+    [C·Lp, H·Sp]-sized fp32 temporaries per chunk (the dominant term at fat
+    shapes — Mosaic's stack allocator was measured OOMing at exactly the sum
+    of these, see the B=128 train-step compile failure this guards against).
+    """
+    HSp = H * Sp
+    factorized = HSp > _FACTORIZE_HSP
+    structural = 4 * (HD * HD + 2 * Sp * HSp + 2 * HD * HSp
+                      + (8 * 128 if factorized else HSp * HSp))
+    # ×2: Mosaic double-buffers the grid-step input blocks for its DMA
+    # pipeline
+    inputs = 2 * 4 * G * ((1 + extra_blocks) * Lp * HD + 2 * Sp * HD + HSp)
+    whole_block = 4 * G * 3 * (Lp + Sp) * HD   # q̂/k̂ + norms + x·x slack
+    fixed = structural + inputs + whole_block
+    c = G
+    while c > 1 and fixed + n_temps * 4 * c * Lp * HSp > _VMEM_BUDGET:
+        c = max(d for d in range(1, c) if G % d == 0)
+    fits = fixed + n_temps * 4 * c * Lp * HSp <= _VMEM_BUDGET
+    return c, factorized, fits
+
+
+def packed_vmem_fit(L: int, S: int, H: int, Dh: int) -> bool:
+    """True iff both packed passes compile within the scoped-VMEM budget at
+    their smallest chunk — the routing guard (`nn.attention._kernel_route`)
+    that keeps `auto` from selecting an uncompilable kernel at fat shapes."""
+    Lp, Sp = _round_up(L, _SUBLANE), _round_up(S, _SUBLANE)
+    _, _, fwd_ok = _vmem_plan(_PACKED_G, Lp, Sp, H * Dh, H, _FWD_TEMPS)
+    _, _, bwd_ok = _vmem_plan(_PACKED_G, Lp, Sp, H * Dh, H, _BWD_TEMPS,
+                              extra_blocks=1)
+    return fwd_ok and bwd_ok
+
+
+# Live [C·Lp, H·Sp]-sized temporaries Mosaic's stack actually holds per
+# chunk, CALIBRATED against real compile failures, not just the named
+# values: the nominal fwd set is {e_cat, denom, p_cat} and bwd
+# {g_cat, e_cat, denom, p_cat, dp_cat, rowseg, ds, dg_cat}, but the
+# measured bwd stack at C=2/Lp=Sp=128/HSp=1024 was 16.45 MB ⇒ ~11.6
+# score-temps/problem once per-g partials, the jnp.where select operands,
+# and Mosaic's own copies are counted. Under-modeling here reproduces the
+# compile-time OOM this module guards against, so both carry headroom.
+_FWD_TEMPS = 6
+_BWD_TEMPS = 12
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -245,12 +342,18 @@ def _packed_fwd(q, k, v, val, H, interpret):
     G = min(_PACKED_G, q.shape[0])
     qp, kp, vp, valp, dims = _pack_pad(q, k, v, val, G)
     B, L, S, HD, Bp, Lp, Sp = dims
+    C, factorized, fits = _vmem_plan(G, Lp, Sp, HD, H, _FWD_TEMPS)
+    if not (fits or interpret):
+        raise ValueError(
+            f"packed kernel cannot fit L={L} S={S} H={H} Dh={HD // H} in "
+            "scoped VMEM even one problem at a time; use the fused/flash "
+            "kernels (auto routes around this via packed_vmem_fit)")
     # lane-tile validity outside the kernel: val_hs[:, h·Sp+s] = val[:, s]
     val_hs = jnp.tile(valp, (1, H))
     spec_q, spec_k, spec_val, st_arrays, st_specs = \
-        _grid_specs(G, Lp, Sp, HD, H)
+        _grid_specs(G, Lp, Sp, HD, H, factorized)
     out = pl.pallas_call(
-        _make_packed_fwd_kernel(G, Lp, Sp),
+        _make_packed_fwd_kernel(G, C, HD // H, Lp, Sp, factorized),
         grid=(Bp // G,),
         in_specs=[spec_q, spec_k, spec_k, spec_val] + st_specs,
         out_specs=spec_q,
@@ -270,13 +373,20 @@ def _packed_bwd(H, interpret, res, do):
     G = min(_PACKED_G, q.shape[0])
     qp, kp, vp, valp, dims = _pack_pad(q, k, v, val, G)
     B, L, S, HD, Bp, Lp, Sp = dims
+    C, factorized, fits = _vmem_plan(G, Lp, Sp, HD, H, _BWD_TEMPS,
+                                     extra_blocks=1)
+    if not (fits or interpret):
+        raise ValueError(
+            f"packed backward cannot fit L={L} S={S} H={H} Dh={HD // H} in "
+            "scoped VMEM even one problem at a time; use the fused/flash "
+            "kernels (auto routes around this via packed_vmem_fit)")
     val_hs = jnp.tile(valp, (1, H))
     dop = jnp.zeros((Bp, Lp, HD), jnp.float32).at[:B, :L].set(do) \
         .reshape(Bp * Lp, HD)
     spec_q, spec_k, spec_val, st_arrays, st_specs = \
-        _grid_specs(G, Lp, Sp, HD, H)
+        _grid_specs(G, Lp, Sp, HD, H, factorized)
     dq, dk, dv = pl.pallas_call(
-        _make_packed_bwd_kernel(G, Lp, Sp),
+        _make_packed_bwd_kernel(G, C, HD // H, Lp, Sp, factorized),
         grid=(Bp // G,),
         in_specs=[spec_q, spec_k, spec_k, spec_val, spec_q] + st_specs,
         out_specs=[spec_q, spec_k, spec_k],

@@ -166,7 +166,14 @@ def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
     if L * S < 256 * 256:
         if (metric == "oblique" and mask is None and q.ndim >= 4
                 and q.shape[-3] * q.shape[-1] <= 128):
-            return "packed"
+            # the packed kernel's VMEM stack grows with L·(H·S); at fat
+            # small-shape extremes (e.g. L=S=128+, the B≥128 train step,
+            # where scene-axis tokens scale with batch) even a one-problem
+            # chunk can overflow the 16 MB scoped limit — fall back to XLA
+            # fusion there instead of shipping an uncompilable kernel
+            from sttode_tpu.kernels.packed_mhgsa import packed_vmem_fit
+            if packed_vmem_fit(L, S, q.shape[-3], q.shape[-1]):
+                return "packed"
         return None
     if S > 2048:
         return "flash" if mask is None else None

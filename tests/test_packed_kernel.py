@@ -141,3 +141,55 @@ class TestPackedRouting:
                          fused=False)
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
                                    atol=3e-5)
+
+
+class TestVmemPlan:
+    """The chunked-compute VMEM planner: the B≥128 train step routes
+    scene-axis attention at L=S=128+ through `auto`, whose packed pick
+    previously compiled into a 24 MB Mosaic stack against the 16 MB scoped
+    limit (compile-time OOM). The plan must (a) keep the flagship shape on
+    the fully batched program, (b) shrink the chunk at fat shapes, and
+    (c) make the route refuse what cannot fit even one problem at a time."""
+
+    def test_flagship_keeps_full_batch(self):
+        from sttode_tpu.kernels.packed_mhgsa import (_vmem_plan, _PACKED_G,
+                                                     _FWD_TEMPS, _BWD_TEMPS)
+        for temps, extra in ((_FWD_TEMPS, 0), (_BWD_TEMPS, 1)):
+            c, fact, fits = _vmem_plan(_PACKED_G, 32, 32, 64, 8, temps,
+                                       extra_blocks=extra)
+            assert (c, fact, fits) == (_PACKED_G, False, True)
+
+    def test_fat_shape_chunks_and_factorizes(self):
+        from sttode_tpu.kernels.packed_mhgsa import (_vmem_plan, _PACKED_G,
+                                                     _FWD_TEMPS, _BWD_TEMPS)
+        cf, factf, fitsf = _vmem_plan(_PACKED_G, 128, 128, 64, 8, _FWD_TEMPS)
+        cb, factb, fitsb = _vmem_plan(_PACKED_G, 128, 128, 64, 8, _BWD_TEMPS,
+                                      extra_blocks=1)
+        assert fitsf and fitsb and factf and factb
+        assert cf < _PACKED_G and cb <= cf
+
+    def test_route_refuses_unfittable(self, rng):
+        from sttode_tpu.kernels.packed_mhgsa import packed_vmem_fit
+        from sttode_tpu.nn.attention import _kernel_route
+        assert packed_vmem_fit(32, 32, 8, 8)
+        assert packed_vmem_fit(128, 128, 8, 8)
+        assert not packed_vmem_fit(8, 1024, 16, 8)
+        q = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 8, 8))
+        kv = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 1024, 8))
+        route = _kernel_route(q, kv, None, None, False, False, "auto",
+                              "oblique")
+        assert route != "packed"
+
+    def test_chunked_fat_shape_parity(self, rng):
+        """L=S=120 exercises chunked chunks + the factorized segment sum
+        (H·Sp = 960 > 512) against the dense oracle, incl. grads."""
+        q, k, v, kv = _case(rng, 2, 8, 120, 120, 8, True)
+        out = packed_geodesic_attention(q, k, v, kv_valid=kv, interpret=True)
+        ref = ref_attention(q, k, v, kv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+        gp = jax.grad(lambda q: jnp.sum(
+            packed_geodesic_attention(q, k, v, kv_valid=kv,
+                                      interpret=True)))(q)
+        gr = jax.grad(lambda q: jnp.sum(ref_attention(q, k, v, kv)))(q)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5)
