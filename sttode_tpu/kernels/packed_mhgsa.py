@@ -324,12 +324,13 @@ def packed_vmem_fit(L: int, S: int, H: int, Dh: int) -> bool:
 # chunk, CALIBRATED against real compile failures, not just the named
 # values: the nominal fwd set is {e_cat, denom, p_cat} and bwd
 # {g_cat, e_cat, denom, p_cat, dp_cat, rowseg, ds, dg_cat}, but the
-# measured bwd stack at C=2/Lp=Sp=128/HSp=1024 was 16.45 MB ⇒ ~11.6
-# score-temps/problem once per-g partials, the jnp.where select operands,
-# and Mosaic's own copies are counted. Under-modeling here reproduces the
-# compile-time OOM this module guards against, so both carry headroom.
+# measured bwd stacks at Lp=Sp=128/HSp=1024 were 16.45 MB at C=2 and
+# 17.02 MB even at C=1 (⇒ ~23 score-temps/problem once per-g partials,
+# the clip/where select operands, and Mosaic's own copies are counted).
+# Under-modeling here reproduces the compile-time OOM this module guards
+# against, so the backward carries the full calibrated count plus margin.
 _FWD_TEMPS = 6
-_BWD_TEMPS = 12
+_BWD_TEMPS = 26
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -139,13 +139,15 @@ def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
                   metric: str) -> str | None:
     """Pick the Pallas execution path, or None for jnp/XLA fusion.
 
-    - "packed" (head-packed small-shape kernel) at the model's own hot shape:
-      L·S < 256² with an explicit head axis whose H·Dh ≤ 128 — heads pack
-      into the lane dim so Dh=8 stops padding 16× on the MXU and the [L,S]
-      score tiles stop wasting 3/4 of their lanes. Measured on v5e at
-      B352·H8·L32·S32·D8: fwd 425 µs vs XLA 461, fwd+bwd 1281 vs 1537
-      (the whole-S fused kernel loses this shape ~3× — BENCHMARKS.md).
-      Oblique metric; masks in key-validity form only.
+    - "packed" (head-packed small-shape kernel) at the model's own hot
+      shapes: L·S ≤ 32² with an explicit head axis whose H·Dh ≤ 128 — heads
+      pack into the lane dim so Dh=8 stops padding 16× on the MXU and the
+      [L,S] score tiles stop wasting their lanes. Measured win region on
+      v5e (f+b, B352·H8·D8): ×1.12 at L=S=8-11 (the agent-axis shape),
+      parity at 16-32, XLA wins beyond (0.62-0.82 at 48-128) — so the
+      route stops at 32² (the whole-S fused kernel loses these shapes ~3×;
+      full crossover in BENCHMARKS.md). Oblique metric; masks in
+      key-validity form only.
     - "fused" (whole-S-in-VMEM kernel) where it measured faster than XLA
       fusion: large score matrices, L·S ≥ 256², up to its VMEM ceiling
       S ≈ 2k.
@@ -164,13 +166,17 @@ def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
         return None
     L, S = q.shape[-2], k.shape[-2]
     if L * S < 256 * 256:
+        # packed's measured win region is the SMALLEST shapes, where XLA's
+        # 128-lane padding waste on Dh=8 is worst (same-session crossover,
+        # f+b xla/packed: L=S=8 → 1.12, 11 → 1.12, 16 → 1.03, 24-32 →
+        # parity, 48 → 0.76, 64 → 0.62, 96-128 → 0.62-0.82 — BENCHMARKS.md
+        # round-3 notes); beyond 32² XLA wins AND the packed VMEM stack
+        # grows with L·(H·S) toward the 16 MB scoped limit (the B≥128 train
+        # step's L=S=128 scene-axis attention compiled at 17 MB → OOM), so
+        # both perf and compilability route fat small shapes to XLA fusion.
         if (metric == "oblique" and mask is None and q.ndim >= 4
-                and q.shape[-3] * q.shape[-1] <= 128):
-            # the packed kernel's VMEM stack grows with L·(H·S); at fat
-            # small-shape extremes (e.g. L=S=128+, the B≥128 train step,
-            # where scene-axis tokens scale with batch) even a one-problem
-            # chunk can overflow the 16 MB scoped limit — fall back to XLA
-            # fusion there instead of shipping an uncompilable kernel
+                and q.shape[-3] * q.shape[-1] <= 128
+                and L * S <= 32 * 32):
             from sttode_tpu.kernels.packed_mhgsa import packed_vmem_fit
             if packed_vmem_fit(L, S, q.shape[-3], q.shape[-1]):
                 return "packed"

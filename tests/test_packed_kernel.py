@@ -172,13 +172,27 @@ class TestVmemPlan:
         from sttode_tpu.kernels.packed_mhgsa import packed_vmem_fit
         from sttode_tpu.nn.attention import _kernel_route
         assert packed_vmem_fit(32, 32, 8, 8)
-        assert packed_vmem_fit(128, 128, 8, 8)
+        # L=S=128 measured a 17.02 MB backward stack even at C=1 — the
+        # calibrated planner must refuse it (the B>=128 train step's
+        # scene-axis shape; XLA also WINS there, dense 44.1k vs auto 37.5k
+        # scenes/s at B=128)
+        assert not packed_vmem_fit(128, 128, 8, 8)
         assert not packed_vmem_fit(8, 1024, 16, 8)
         q = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 8, 8))
         kv = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 1024, 8))
         route = _kernel_route(q, kv, None, None, False, False, "auto",
                               "oblique")
         assert route != "packed"
+
+    def test_route_win_region_cap(self, rng):
+        """auto routes packed only inside the measured win/parity region
+        (L·S ≤ 32²); beyond it XLA fusion wins 1.2-1.6× and the route must
+        not pick packed even though the kernel could run there."""
+        from sttode_tpu.nn.attention import _kernel_route
+        q48 = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 48, 8))
+        k48 = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 48, 8))
+        assert _kernel_route(q48, k48, None, None, False, False, "auto",
+                             "oblique") != "packed"
 
     def test_chunked_fat_shape_parity(self, rng):
         """L=S=120 exercises chunked chunks + the factorized segment sum
