@@ -163,8 +163,44 @@ def _poincare_xla(qb, kb, v):
 
 def bench_kernel(lines):
     from sttode_tpu.kernels import flash_geodesic_attention
+    from sttode_tpu.kernels.packed_mhgsa import packed_geodesic_attention
+    # the packed kernel takes an explicit head axis [B, H, L, Dh]; measured
+    # at the agent-axis shape (N=11 keys) where its win is largest
+    for (B, H, L, Dh) in [(352, 8, 11, 8), (352, 8, 32, 8)]:
+        rng = np.random.default_rng(0)
+        qh = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+        kh = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+        vh = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+
+        def make(fn):
+            def m(n):
+                f, _ = _chained(fn, n)
+                return lambda: f(qh, kh, vh)
+            return m
+
+        xla4 = lambda q, k, v: geodesic_attention(
+            q, k, v, compat="tpu", fused=False, need_weights=False)[0]
+        loop = max(8, 30 * 32 * 32 // (L * L))
+        # fwd+bwd is the decision-relevant number (training dominates; the
+        # packed win lives in the recompute backward — fwd-only XLA wins)
+        rows = {}
+        for nm, fn in (("packed",
+                        lambda q, k, v: packed_geodesic_attention(q, k, v)),
+                       ("XLA", xla4)):
+            g = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v)))
+            def mk(n, g=g):
+                f, _ = _chained(lambda q, k, v: g(q, k, v), n)
+                return lambda: f(qh, kh, vh)
+            rows[nm] = (_timed(make(fn), loop),
+                        _timed(mk, max(loop // 2, 8)))
+        lines.append(
+            f"| MHGSA B{B}·H{H}·L{L}·S{L}·D{Dh} | packed "
+            f"{rows['packed'][0] * 1e6:.0f} µs fwd / "
+            f"{rows['packed'][1] * 1e6:.0f} µs f+b | XLA "
+            f"{rows['XLA'][0] * 1e6:.0f} µs fwd / "
+            f"{rows['XLA'][1] * 1e6:.0f} µs f+b |")
+
     cases = [
-        ("fused", (2816, 32, 32, 8)),
         ("fused", (64, 512, 512, 64)),
         ("fused", (16, 1024, 1024, 64)),
         ("flash", (8, 4096, 4096, 64)),   # beyond the fused VMEM ceiling
@@ -238,12 +274,18 @@ def bench_roofline(lines):
     params = sttode_init(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
-    from sttode_tpu.train import make_train_step
+    from sttode_tpu.train import make_train_step, stack_batches
     step = make_train_step(cfg, opt, donate=False)
     key = jax.random.PRNGKey(1)
     costs = profiling.cost_analysis(step, params, opt_state, batch, key)
-    dt = profiling.time_fn(step, params, opt_state, batch, key,
-                           iters=20)["seconds_per_call"]
+    # time the SHIPPED path (scanned multi-step dispatch): a single-step
+    # dispatch through the tunnel carries ~0.4 ms of launch overhead that
+    # is not device time and would understate utilization ~2×
+    S = 8
+    stepS = make_train_step(cfg, opt, donate=False, scan_steps=S)
+    stacked = stack_batches([make_batch(cfg, B, N, seed=i) for i in range(S)])
+    dt = profiling.time_fn(stepS, params, opt_state, stacked, key,
+                           iters=12)["seconds_per_call"] / S
     intensity = costs["flops"] / costs["bytes_accessed"]
     att_tf, bound = _attainable_tflops(intensity)
     if bound == "HBM":
@@ -255,7 +297,8 @@ def bench_roofline(lines):
         attainable = profiling.PEAK_TFLOPS["v5e"]["f32"]
         unit = "TF/s"
     lines.append(
-        f"| train step fwd+bwd+adam (32×11, K=20, fp32) | {intensity:.0f} "
+        f"| train step fwd+bwd+adam (32×11, K=20, fp32, scanned ×{S}) "
+        f"| {intensity:.0f} "
         f"| {bound} | {achieved:,.0f} {unit} | {attainable:,.0f} {unit} "
         f"| **{100 * achieved / attainable:.0f}%** |")
 
@@ -292,15 +335,25 @@ def bench_roofline(lines):
     lines.append(
         "Verdict vs BASELINE.md's '≥90% of attainable' target: the TRAIN STEP "
         "is the honest headline — its utilization is reported above against "
-        "the bound its own intensity selects. The standalone MHGSA kernel "
-        "rows are compute-bound at their intensities but the acos/clip/neg "
-        "epilogue and softmax run on the VPU (8 lanes/cycle) not the MXU, and "
-        "the fp32 Gram is mandated by acos numerics (bf16 Gram error ~2e-3 → "
-        "~0.06 rad score noise, manifolds/oblique.py:47-62), so their MXU-"
-        "peak fraction understates kernel quality; the XLA-vs-Pallas A/B in "
-        "the table above is the decision-relevant comparison. Where a row "
-        "misses 90%, the named bound is the reason recorded here rather than "
-        "a silent pass.")
+        "the bound its own intensity selects. Two systematic caveats on that "
+        "row: (a) the byte count comes from XLA's per-op cost model, which "
+        "includes intermediates that fusion never materializes to HBM, so "
+        "the modeled traffic is an UPPER bound and the ratio can exceed 100% "
+        "— a reading ≥100% means the step beats its own un-fused traffic "
+        "model (fusion efficiency), not that the chip exceeds its bandwidth; "
+        "true physical-HBM utilization needs a hardware profiler this "
+        "tunneled backend does not expose. (b) run-to-run throughput drift "
+        "on this shared chip is ±20-30% (the same scanned step measured "
+        "0.65-0.99 ms across sessions on one day) — cross-table comparisons "
+        "within one generation are valid, absolute levels carry that band. "
+        "The standalone MHGSA kernel rows are compute-bound at their "
+        "intensities but the acos/clip/neg epilogue and softmax run on the "
+        "VPU (8 lanes/cycle) not the MXU, and the fp32 Gram is mandated by "
+        "acos numerics (bf16 Gram error ~2e-3 → ~0.06 rad score noise, "
+        "manifolds/oblique.py:47-62), so their MXU-peak fraction understates "
+        "kernel quality; the XLA-vs-Pallas A/B in the table above is the "
+        "decision-relevant comparison. Where a row misses 90%, the named "
+        "bound is the reason recorded here rather than a silent pass.")
 
 
 def main():
@@ -322,7 +375,7 @@ def main():
     bench_kernel(lines)
     bench_roofline(lines)
     lines.append("")
-    lines.append("Routing: `geodesic_attention(fused='auto')` uses XLA fusion below L·S = 256² where it wins decisively (tiny head dims pad 16× on the 128-lane MXU), the whole-S-in-VMEM fused kernel up to S ≈ 2k where it stably measures ~1.4× XLA (365-380 µs vs ~515 at 512²-1024² across repeated runs), and the S-tiled flash kernel (online softmax + LSE-replay backward) beyond. The flash kernel's deterministic win is structural: context bounded by HBM, not VMEM — XLA fusion must materialize the [L,S] score tensor (0.5-2 GB at 4-8k context) in HBM for forward AND keep it as a backward residual, the flash kernel never does; its wall-clock at 4096² ranges parity to ~1.7× XLA across runs (the controlled alternating A/B measured 7.2 vs 8.6 ms fwd, ~1.4× fwd+bwd) under this shared chip's contention. Methodology: every row chains N dependent calls in one dispatch and reports the best-of-window DIFFERENCE between N and 2N (cancels the ~35 ms dispatch+fetch tunnel constant, which drifts too much to subtract from a separate baseline); block_until_ready is unreliable on this backend.")
+    lines.append("Routing: `geodesic_attention(fused='auto')` is a four-way measured split — the head-packed kernel at the smallest shapes (L·S ≤ 32² with a head axis, H·Dh ≤ 128: the lane dim carries all H heads so Dh=8 stops padding 16×; measured win ×1.12 f+b at L=S=8-16, parity at 24-32), XLA fusion in the mid band 32² < L·S < 256² where it wins decisively (0.62-0.82 xla/packed at 48-128 — and the packed VMEM stack can't fit ≥128² anyway, see round-3 notes), the whole-S-in-VMEM fused kernel from 256² up to its VMEM ceiling S ≈ 2k (~1.4× XLA at 512²-1024², +11.5% on the whole B=512 train step), and the S-tiled flash kernel (maxless streaming softmax + LSE-replay backward) beyond. The flash kernel's deterministic win is structural: context bounded by HBM, not VMEM — XLA fusion must materialize the [L,S] score tensor (0.5-2 GB at 4-8k context) in HBM for forward AND keep it as a backward residual, the flash kernel never does. Methodology: every row chains N dependent calls in one dispatch and reports the best-of-window DIFFERENCE between N and 2N (cancels the ~35 ms dispatch+fetch tunnel constant, which drifts too much to subtract from a separate baseline); block_until_ready is unreliable on this backend.")
     # preserve the hand-curated notes sections (perf notes, negative
     # results) that live below the generated tables
     manual = ""
