@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--train_scenes", type=int, default=600)
     ap.add_argument("--test_scenes", type=int, default=100)
     ap.add_argument("--scenes_per_batch", type=int, default=16)
+    ap.add_argument("--scan_steps", type=int, default=1,
+                    help="optimizer steps per device dispatch (the "
+                         "production recipe pairs --scenes_per_batch 128 "
+                         "with --scan_steps 8)")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--eval_every", type=int, default=5)
     ap.add_argument("--attn_axis", default="agent")
@@ -75,7 +79,8 @@ def main():
     schedule = step_lr(args.lr, 10, 0.5)
     opt = adam_with_schedule(schedule)
     opt_state = opt.init(params)
-    step_fn = make_train_step(cfg, opt, donate=False)
+    step_fn = make_train_step(cfg, opt, donate=False,
+                              scan_steps=args.scan_steps)
 
     nprng = np.random.default_rng(0)
     history = []
@@ -88,7 +93,7 @@ def main():
             step_fn, params, opt_state,
             scene_batches(train, training=True, rng=nprng,
                           scenes_per_batch=args.scenes_per_batch),
-            k_ep)
+            k_ep, scan_steps=args.scan_steps)
         line = (f"epoch {epoch:03d} [{time.time() - t0:.1f}s] "
                 + " ".join(f"{k}: {v:.3f}" for k, v in sorted(means.items())))
         if (epoch + 1) % args.eval_every == 0 or epoch == 0:
@@ -109,8 +114,10 @@ def main():
     if args.ode_adjoint:
         ode_desc += "+adjoint"
     with open("CONVERGENCE.md", "a") as f:
+        recipe = (f"B={args.scenes_per_batch}"
+                  + (f"×scan{args.scan_steps}" if args.scan_steps > 1 else ""))
         f.write(f"\n## Run: {args.epochs} epochs, {args.train_scenes} train "
-                f"scenes, compat={args.compat}/{args.attn_axis}, "
+                f"scenes, {recipe}, compat={args.compat}/{args.attn_axis}, "
                 f"ode={ode_desc}, "
                 f"{total_min:.1f} min on {jax.devices()[0].device_kind}\n\n")
         f.write("| epoch | test min-ADE (K=20) | test min-FDE |\n|---|---|---|\n")

@@ -160,13 +160,19 @@ class TestVmemPlan:
             assert (c, fact, fits) == (_PACKED_G, False, True)
 
     def test_fat_shape_chunks_and_factorizes(self):
+        """At L=S=96 (fat but fittable) both passes chunk below the full
+        batch and factorize the segment sum; at L=S=128 the calibrated
+        backward model (measured 17.02 MB at C=1 on-chip) refuses."""
         from sttode_tpu.kernels.packed_mhgsa import (_vmem_plan, _PACKED_G,
                                                      _FWD_TEMPS, _BWD_TEMPS)
-        cf, factf, fitsf = _vmem_plan(_PACKED_G, 128, 128, 64, 8, _FWD_TEMPS)
-        cb, factb, fitsb = _vmem_plan(_PACKED_G, 128, 128, 64, 8, _BWD_TEMPS,
+        cf, factf, fitsf = _vmem_plan(_PACKED_G, 96, 96, 64, 8, _FWD_TEMPS)
+        cb, factb, fitsb = _vmem_plan(_PACKED_G, 96, 96, 64, 8, _BWD_TEMPS,
                                       extra_blocks=1)
         assert fitsf and fitsb and factf and factb
         assert cf < _PACKED_G and cb <= cf
+        _, _, fits128 = _vmem_plan(_PACKED_G, 128, 128, 64, 8, _BWD_TEMPS,
+                                   extra_blocks=1)
+        assert not fits128
 
     def test_route_refuses_unfittable(self, rng):
         from sttode_tpu.kernels.packed_mhgsa import packed_vmem_fit
