@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--attn_metric", default="oblique",
                     choices=("oblique", "poincare"))
     ap.add_argument("--curvature", type=float, default=1.0)
+    ap.add_argument("--select_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="bf16 best-of-K selection decode (winner recomputed "
+                         "fp32) — the convergence A/B evidence for adopting "
+                         "it lives in CONVERGENCE.md")
     args = ap.parse_args()
 
     train = make_social_scenes(args.train_scenes, seed=0)
@@ -71,7 +76,8 @@ def main():
                        attn_metric=args.attn_metric,
                        curvature=args.curvature,
                        attn_impl="dense" if args.attn_metric == "poincare"
-                       else "auto")
+                       else "auto",
+                       select_dtype=args.select_dtype)
 
     key = jax.random.PRNGKey(0)
     key, k_init = jax.random.split(key)
@@ -115,7 +121,8 @@ def main():
         ode_desc += "+adjoint"
     with open("CONVERGENCE.md", "a") as f:
         recipe = (f"B={args.scenes_per_batch}"
-                  + (f"×scan{args.scan_steps}" if args.scan_steps > 1 else ""))
+                  + (f"×scan{args.scan_steps}" if args.scan_steps > 1 else "")
+                  + ("+bf16sel" if args.select_dtype == "bfloat16" else ""))
         f.write(f"\n## Run: {args.epochs} epochs, {args.train_scenes} train "
                 f"scenes, {recipe}, compat={args.compat}/{args.attn_axis}, "
                 f"ode={ode_desc}, "

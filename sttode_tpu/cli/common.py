@@ -67,6 +67,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="bfloat16 casts the decode-MLP matmul operands (the "
                         "step's dominant HBM traffic) with fp32 accumulate; "
                         "attention Gram / losses stay fp32")
+    p.add_argument("--select_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bfloat16 runs the gradient-free best-of-K SELECTION "
+                        "decode wholly in bf16 (winner recomputed fp32 — "
+                        "loss numerics stay fp32, only near-tie winner "
+                        "choices can move); the selection decode is the "
+                        "step's dominant component at B>=128")
     p.add_argument("--attn_impl", default="auto",
                    choices=("auto", "dense", "fused", "flash", "packed",
                             "ring", "ulysses"),
@@ -114,6 +121,7 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         ode_adjoint=args.ode_adjoint, ode_rtol=args.ode_rtol,
         ode_atol=args.ode_atol,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        select_dtype=getattr(args, "select_dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "auto"),
         attn_metric=getattr(args, "attn_metric", "oblique"),
         curvature=getattr(args, "curvature", 1.0),

@@ -106,6 +106,16 @@ class STTODEConfig(NamedTuple):
                                     # gradients a.e. — min flows through the
                                     # argmin branch only); "dense" is plain
                                     # autodiff through all K samples
+    select_dtype: str = "float32"   # "bfloat16" runs the gradient-free
+                                    # best-of-K SELECTION decode wholly in
+                                    # bf16 (params + activations cast once at
+                                    # entry, bf16 stores throughout — unlike
+                                    # compute_dtype's per-matmul operand cast)
+                                    # — that decode only picks the argmin
+                                    # winner, which is then recomputed in
+                                    # fp32, so loss numerics are fp32 and
+                                    # only near-tie winner choices can move.
+                                    # Requires diverse_grad="sparse".
 
     @property
     def layer_cfg(self) -> LayerConfig:
@@ -135,6 +145,12 @@ class STTODEConfig(NamedTuple):
         assert self.curvature > 0.0, self.curvature
         assert self.ode_steps >= 1 and self.sample_k >= 1
         assert self.diverse_grad in ("sparse", "dense"), self.diverse_grad
+        assert self.select_dtype in ("float32", "bfloat16"), self.select_dtype
+        assert not (self.select_dtype == "bfloat16"
+                    and self.diverse_grad != "sparse"), \
+            "select_dtype='bfloat16' requires diverse_grad='sparse' (the " \
+            "dense path differentiates through the K-decode, which must " \
+            "stay fp32)"
         allowed = {"pred", "recover", "kl", "diverse"}
         assert self.loss_terms and set(self.loss_terms) <= allowed, \
             f"loss_terms must be a non-empty subset of {allowed}"
@@ -540,9 +556,29 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # "dense" mode keeps plain autodiff through all K for exact-tie
         # gradient-splitting semantics.
         sg = jax.lax.stop_gradient
-        diverse, _ = decode(sg(params), cfg, sg(past_feature_k),
-                            sg(pz_sample), batch.past,
-                            batch.cur_location, K, block0_state=sg(state0))
+        if cfg.select_dtype == "bfloat16":
+            # the K-decode below exists ONLY to pick the argmin winner (its
+            # values feed dist → argmin; the winner is recomputed in fp32),
+            # so run it wholly in bf16: params + inputs cast ONCE here, every
+            # intermediate stored bf16 — half the HBM bytes of the step's
+            # dominant component (measured 58-69% of step time at B≥128).
+            # Selection flips only where two samples' squared errors land
+            # within bf16 resolution of each other.
+            def _cast(t):
+                return jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            diverse, _ = decode({"decoder": _cast(sg(params["decoder"]))},
+                                cfg, _cast(sg(past_feature_k)),
+                                _cast(sg(pz_sample)), _cast(batch.past),
+                                _cast(batch.cur_location), K,
+                                block0_state=_cast(sg(state0)))
+            diverse = diverse.astype(batch.future.dtype)
+        else:
+            diverse, _ = decode(sg(params), cfg, sg(past_feature_k),
+                                sg(pz_sample), batch.past,
+                                batch.cur_location, K,
+                                block0_state=sg(state0))
         diverse = diverse.reshape(M, K, cfg.future_length, 2)
         dist = jnp.sum(jnp.square(batch.future[:, None] - diverse),
                        axis=(-1, -2))                          # [M, K]

@@ -225,6 +225,37 @@ class TestGradients:
             np.testing.assert_allclose(
                 a, b, rtol=1e-4, atol=1e-5 * max(np.max(np.abs(a)), 1.0))
 
+    def test_bf16_selection_matches_fp32(self, rng):
+        """select_dtype="bfloat16" only changes HOW the argmin winner is
+        found (the selection decode runs in bf16); the winner itself is
+        recomputed in fp32, so whenever the bf16 and fp32 selections agree —
+        which they do on this fixture, where the K samples' errors are
+        well-separated — loss and gradients match the fp32 path exactly up
+        to fp reassociation."""
+        cfg_f = tiny_cfg(diverse_grad="sparse").validate()
+        cfg_b = cfg_f._replace(select_dtype="bfloat16").validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg_f)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(3)
+
+        def loss(p, cfg):
+            return sttode_forward(p, cfg, batch, key, train=True).total_loss
+
+        lf, gf = jax.value_and_grad(lambda p: loss(p, cfg_f))(params)
+        lb, gb = jax.value_and_grad(lambda p: loss(p, cfg_b))(params)
+        np.testing.assert_allclose(float(lf), float(lb), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gb)):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5 * max(np.max(np.abs(a)), 1.0))
+
+    def test_bf16_selection_requires_sparse(self):
+        import pytest
+        with pytest.raises(AssertionError, match="sparse"):
+            tiny_cfg(diverse_grad="dense",
+                     select_dtype="bfloat16").validate()
+
     def test_grads_flow_everywhere(self, rng):
         cfg = tiny_cfg()
         params = sttode_init(jax.random.PRNGKey(0), cfg)
