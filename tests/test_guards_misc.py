@@ -83,3 +83,17 @@ class TestLogging:
         content = open(path).read()
         assert "hello" in content and "eth | Epo: 01/10" in content
         assert "hello" in capsys.readouterr().out
+
+
+class TestCliConfigPlumbing:
+    def test_select_dtype_flag_reaches_config(self):
+        """--select_dtype threads parser → model_config → validated
+        STTODEConfig (and defaults to fp32 when absent)."""
+        from sttode_tpu.cli.common import base_parser, model_config
+        p = base_parser("t")
+        cfg = model_config(p.parse_args(
+            ["--dataset", "nba", "--select_dtype", "bfloat16"]))
+        assert cfg.select_dtype == "bfloat16"
+        assert cfg.past_length == 5 and cfg.future_length == 10
+        cfg = model_config(p.parse_args(["--dataset", "eth"]))
+        assert cfg.select_dtype == "float32"
