@@ -375,6 +375,17 @@ def prior(params: dict, cfg: STTODEConfig,
 # decoder                                                                     #
 # --------------------------------------------------------------------------- #
 
+# Above this many decode rows the gradient-free decodes (best-of-K selection,
+# inference) stop hoisting the GRU input projection: the hoisted gi_all
+# [R, T, 3H] is a full HBM round trip (3H=288 vs the 32-wide conv input it
+# replaces), which beats dispatch-latency savings once R is large. Step-level
+# A/B measured the unhoisted form winning at EVERY tested selection size
+# (R=7040-112640: ×1.04-1.11 bf16, ×1.19 fp32 at R=28160 — BENCHMARKS.md
+# round-3 notes); the threshold keeps tiny eval batches (ETH per-scene
+# R≈120) on the latency-friendly hoisted form. The differentiable decodes
+# always hoist (round-2 measurement, small rows).
+SELECT_GRU_HOIST_MAX_ROWS = 4096
+
 def decode_block0_state(params: dict, past_traj: jnp.ndarray) -> jnp.ndarray:
     """Decompose block 1's conv+GRU state [M, 96]. Block 1 always sees
     residual = x_true − 0 = past_traj, independent of z and the sample
@@ -390,7 +401,8 @@ def decode_block0_state(params: dict, past_traj: jnp.ndarray) -> jnp.ndarray:
 
 def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
            z: jnp.ndarray, past_traj: jnp.ndarray, cur_location: jnp.ndarray,
-           sample_num: int, block0_state: jnp.ndarray | None = None):
+           sample_num: int, block0_state: jnp.ndarray | None = None,
+           gru_hoist: bool = True):
     """Iterative decompose decoder (reference Decoder.forward,
     model/STTODE.py:320-347).
 
@@ -427,7 +439,7 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
         else:
             residual = x_true - x_hat                          # [M·s, T_p, 2]
             h = jax.nn.relu(conv1d(block["conv_past"], residual, padding=1))
-            _, state = gru(block["gru"], h)                    # [M·s, 96]
+            _, state = gru(block["gru"], h, hoist=gru_hoist)   # [M·s, 96]
         feat = jnp.concatenate([hidden, state], axis=-1)
         x_hat = core.mlp(block["decoder_x"], feat,
                          compute_dtype=cd).reshape(-1, cfg.past_length, 2)
@@ -556,6 +568,7 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # "dense" mode keeps plain autodiff through all K for exact-tie
         # gradient-splitting semantics.
         sg = jax.lax.stop_gradient
+        sel_hoist = (M * K) <= SELECT_GRU_HOIST_MAX_ROWS
         if cfg.select_dtype == "bfloat16":
             # the K-decode below exists ONLY to pick the argmin winner (its
             # values feed dist → argmin; the winner is recomputed in fp32),
@@ -572,13 +585,15 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
                                 cfg, _cast(sg(past_feature_k)),
                                 _cast(sg(pz_sample)), _cast(batch.past),
                                 _cast(batch.cur_location), K,
-                                block0_state=_cast(sg(state0)))
+                                block0_state=_cast(sg(state0)),
+                                gru_hoist=sel_hoist)
             diverse = diverse.astype(batch.future.dtype)
         else:
             diverse, _ = decode(sg(params), cfg, sg(past_feature_k),
                                 sg(pz_sample), batch.past,
                                 batch.cur_location, K,
-                                block0_state=sg(state0))
+                                block0_state=sg(state0),
+                                gru_hoist=sel_hoist)
         diverse = diverse.reshape(M, K, cfg.future_length, 2)
         dist = jnp.sum(jnp.square(batch.future[:, None] - diverse),
                        axis=(-1, -2))                          # [M, K]
@@ -634,6 +649,7 @@ def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     pz = prior(params, cfg, past_feature_k)
     z = pz.rsample(k_p)
     diverse, _ = decode(params, cfg, past_feature_k, z, batch.past,
-                        batch.cur_location, K)
+                        batch.cur_location, K,
+                        gru_hoist=(M * K) <= SELECT_GRU_HOIST_MAX_ROWS)
     return jnp.transpose(diverse.reshape(M, K, cfg.future_length, 2),
                          (1, 0, 2, 3))

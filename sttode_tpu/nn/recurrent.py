@@ -60,22 +60,27 @@ def gru_cell(params: GRUParams, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def gru(params: GRUParams, xs: jnp.ndarray,
-        h0: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+        h0: jnp.ndarray | None = None, *,
+        hoist: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run a GRU over the time axis. xs: [B, T, D] → (ys [B, T, H], h_T [B, H]).
 
-    The input projection ``xs @ w_ih`` has no sequential dependency, so it is
-    hoisted out of the scan into ONE [B·T, D]×[D, 3H] MXU matmul; the scan
-    body keeps only the recurrent ``h @ w_hh`` — half the sequential kernels
-    on the latency-bound critical path (T is 5-12 here; the per-step matmuls
-    are tiny, so launch latency dominates). Bitwise-identical recurrence."""
+    With ``hoist=True`` (default) the input projection ``xs @ w_ih`` moves
+    out of the scan into ONE [B·T, D]×[D, 3H] MXU matmul; the scan body
+    keeps only the recurrent ``h @ w_hh`` — half the sequential kernels on
+    the latency-bound critical path (T is 5-12 here; at small B the
+    per-step matmuls are tiny, so launch latency dominates). At huge row
+    counts the tradeoff inverts: the hoisted gi_all [B, T, 3H] costs a full
+    HBM round trip (3H = 9× the D=32 input width), so ``hoist=False`` keeps
+    the input projection inside the scan and reads only xs — the best-of-K
+    selection decode (B = scenes·agents·K ≈ 10⁵ rows) uses this. Both forms
+    compute the same recurrence; only the input projection's matmul
+    batching reassociates (~1e-7 under jax's default matmul precision)."""
     B, T, _ = xs.shape
     H = params.w_hh.shape[0]
     if h0 is None:
         h0 = jnp.zeros((B, H), xs.dtype)
 
-    gi_all = xs @ params.w_ih + params.b_ih            # [B, T, 3H], one matmul
-
-    def step(h, gi):
+    def cell(h, gi):
         gh = h @ params.w_hh + params.b_hh
         i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
         h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
@@ -85,7 +90,13 @@ def gru(params: GRUParams, xs: jnp.ndarray,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi_all, 0, 1))
+    if hoist:
+        gi_all = xs @ params.w_ih + params.b_ih        # [B, T, 3H], one matmul
+        h_final, ys = jax.lax.scan(cell, h0, jnp.swapaxes(gi_all, 0, 1))
+    else:
+        def step(h, x_t):
+            return cell(h, x_t @ params.w_ih + params.b_ih)
+        h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
     return jnp.swapaxes(ys, 0, 1), h_final
 
 

@@ -151,6 +151,21 @@ class TestGRUConvParity:
         np.testing.assert_allclose(np.asarray(ys), t_ys.numpy(), atol=1e-5)
         np.testing.assert_allclose(np.asarray(h), t_h.numpy()[0], atol=1e-5)
 
+    def test_gru_unhoisted_matches_hoisted(self, rng):
+        """hoist=False (input projection inside the scan — the selection
+        decode's large-row form) computes the same recurrence; only the
+        input projection's matmul batching reassociates (jax's default
+        matmul precision truncates operands to bf16 even on CPU, so the
+        two batchings differ at ~1e-7)."""
+        p = recurrent.gru_init(jax.random.PRNGKey(0), 32, 96)
+        xs = jnp.asarray(rng.standard_normal((16, 8, 32)).astype(np.float32))
+        ys_h, h_h = recurrent.gru(p, xs, hoist=True)
+        ys_u, h_u = recurrent.gru(p, xs, hoist=False)
+        np.testing.assert_allclose(np.asarray(ys_h), np.asarray(ys_u),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(h_h), np.asarray(h_u),
+                                   atol=2e-6)
+
     def test_conv1d_matches_torch(self, rng):
         torch = pytest.importorskip("torch")
         B, T, Cin, Cout, K = 4, 8, 2, 32, 3
