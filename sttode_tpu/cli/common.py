@@ -74,6 +74,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "loss numerics stay fp32, only near-tie winner "
                         "choices can move); the selection decode is the "
                         "step's dominant component at B>=128")
+    p.add_argument("--select_impl", default="xla",
+                   choices=("xla", "fused", "auto"),
+                   help="best-of-K selection decode route: 'fused' = the "
+                        "single-kernel Pallas selection decode (wins at "
+                        "M*K >= ~1e5 rows, i.e. B>=512 at NBA shapes); "
+                        "'auto' routes by that measured threshold")
     p.add_argument("--attn_impl", default="auto",
                    choices=("auto", "dense", "fused", "flash", "packed",
                             "ring", "ulysses"),
@@ -122,6 +128,7 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         ode_atol=args.ode_atol,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         select_dtype=getattr(args, "select_dtype", "float32"),
+        select_impl=getattr(args, "select_impl", "xla"),
         attn_impl=getattr(args, "attn_impl", "auto"),
         attn_metric=getattr(args, "attn_metric", "oblique"),
         curvature=getattr(args, "curvature", 1.0),

@@ -32,6 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sttode_tpu.kernels.select_decode import select_decode
 from sttode_tpu.nn import core, embed
 from sttode_tpu.nn.ode_block import ode_encoder
 from sttode_tpu.nn.recurrent import conv1d, conv1d_init, gru, gru_init
@@ -116,6 +117,26 @@ class STTODEConfig(NamedTuple):
                                     # fp32, so loss numerics are fp32 and
                                     # only near-tie winner choices can move.
                                     # Requires diverse_grad="sparse".
+    select_impl: str = "xla"        # "fused" runs the gradient-free best-of-K
+                                    # SELECTION decode as ONE Pallas kernel
+                                    # (kernels/select_decode.py): the whole
+                                    # per-row chain (both decompose blocks'
+                                    # MLPs + conv + GRU + the K-distance)
+                                    # stays VMEM-resident, the K-repeat is
+                                    # realized by grid index maps instead of
+                                    # HBM, and only one fp32 scalar per row
+                                    # leaves the chip — vs XLA's per-matmul
+                                    # [R,512]-class intermediates. Measured
+                                    # win region: M·K ≥ ~10⁵ rows (B=512:
+                                    # ×1.04; loses ×0.87-0.95 below —
+                                    # BENCHMARKS.md round-3 notes). "auto"
+                                    # routes by that threshold on TPU.
+                                    # Computes at select_dtype numerics.
+                                    # Requires diverse_grad="sparse" and
+                                    # num_decompose=2 ("auto" falls back to
+                                    # xla otherwise). diverse_pred is
+                                    # returned as zeros under "fused" (the
+                                    # trajectories never leave the kernel).
 
     @property
     def layer_cfg(self) -> LayerConfig:
@@ -151,6 +172,13 @@ class STTODEConfig(NamedTuple):
             "select_dtype='bfloat16' requires diverse_grad='sparse' (the " \
             "dense path differentiates through the K-decode, which must " \
             "stay fp32)"
+        assert self.select_impl in ("xla", "fused", "auto"), self.select_impl
+        assert not (self.select_impl == "fused"
+                    and (self.diverse_grad != "sparse"
+                         or self.num_decompose != 2)), \
+            "select_impl='fused' requires diverse_grad='sparse' (the kernel " \
+            "is forward-only) and num_decompose=2 (the kernel's unrolled " \
+            "block structure); 'auto' falls back to xla instead"
         allowed = {"pred", "recover", "kl", "diverse"}
         assert self.loss_terms and set(self.loss_terms) <= allowed, \
             f"loss_terms must be a non-empty subset of {allowed}"
@@ -386,6 +414,12 @@ def prior(params: dict, cfg: STTODEConfig,
 # always hoist (round-2 measurement, small rows).
 SELECT_GRU_HOIST_MAX_ROWS = 4096
 
+# select_impl="auto" routes the selection decode to the fused Pallas kernel
+# at and above this many rows: measured win ×1.038 at R=112,640 (B=512),
+# measured losses ×0.87-0.95 at R ≤ 56,320 (B ≤ 256) — the boundary lies in
+# between; set conservatively just under the measured win point.
+SELECT_FUSED_MIN_ROWS = 100_000
+
 def decode_block0_state(params: dict, past_traj: jnp.ndarray) -> jnp.ndarray:
     """Decompose block 1's conv+GRU state [M, 96]. Block 1 always sees
     residual = x_true − 0 = past_traj, independent of z and the sample
@@ -569,7 +603,31 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # gradient-splitting semantics.
         sg = jax.lax.stop_gradient
         sel_hoist = (M * K) <= SELECT_GRU_HOIST_MAX_ROWS
-        if cfg.select_dtype == "bfloat16":
+        sel_impl = cfg.select_impl
+        if sel_impl == "auto":
+            sel_impl = "fused" if (cfg.num_decompose == 2
+                                   and M * K >= SELECT_FUSED_MIN_ROWS
+                                   and jax.default_backend() == "tpu") \
+                else "xla"
+        if sel_impl == "fused":
+            # one Pallas kernel for the whole K-decode + distance: only an
+            # [M, K] fp32 matrix leaves the chip (kernels/select_decode.py).
+            # Per-scene operands pass UNREPEATED — the kernel's (m, k) grid
+            # index maps realize the K-repeat for free, so none of the
+            # repeated operands ever materializes in HBM. Interpret mode
+            # keeps CPU meshes/tests working.
+            sel_dt = jnp.bfloat16 if cfg.select_dtype == "bfloat16" \
+                else jnp.float32
+            z_km = jnp.transpose(sg(pz_sample).reshape(M, K, -1), (1, 0, 2))
+            dist = select_decode(
+                sg(params), sg(past_feature), z_km, sg(state0),
+                batch.past.reshape(M, -1),
+                (batch.future - batch.cur_location).reshape(M, -1),
+                mode="dist", dtype=sel_dt,
+                interpret=jax.default_backend() != "tpu")          # [M, K]
+            diverse = jnp.zeros((M, K, cfg.future_length, 2),
+                                batch.future.dtype)
+        elif cfg.select_dtype == "bfloat16":
             # the K-decode below exists ONLY to pick the argmin winner (its
             # values feed dist → argmin; the winner is recomputed in fp32),
             # so run it wholly in bf16: params + inputs cast ONCE here, every
@@ -594,9 +652,10 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
                                 batch.cur_location, K,
                                 block0_state=sg(state0),
                                 gru_hoist=sel_hoist)
-        diverse = diverse.reshape(M, K, cfg.future_length, 2)
-        dist = jnp.sum(jnp.square(batch.future[:, None] - diverse),
-                       axis=(-1, -2))                          # [M, K]
+        if sel_impl != "fused":
+            diverse = diverse.reshape(M, K, cfg.future_length, 2)
+            dist = jnp.sum(jnp.square(batch.future[:, None] - diverse),
+                           axis=(-1, -2))                      # [M, K]
         best = jnp.argmin(dist, axis=1)                        # [M]
         # gather the winning latents from the NON-stopped sample array so a
         # learned prior still receives gradients through its chosen draws
