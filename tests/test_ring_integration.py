@@ -40,7 +40,11 @@ def _loss_and_grads(cfg, params, batch, mesh=None):
         return sttode_forward(p, cfg, batch, jax.random.PRNGKey(3),
                               train=False, mesh=mesh).total_loss
 
-    return jax.value_and_grad(loss)(params)
+    # jit the whole fwd+bwd into ONE program: eager per-op backward
+    # dispatch over the 8-device host platform proved fragile at
+    # full-suite scale (a C++-level abort in an eager concatenate
+    # transpose once hundreds of programs have accumulated)
+    return jax.jit(jax.value_and_grad(loss))(params)
 
 
 def _assert_trees_close(g1, g2, atol, rtol):
