@@ -603,10 +603,13 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # gradient-splitting semantics.
         sg = jax.lax.stop_gradient
         sel_hoist = (M * K) <= SELECT_GRU_HOIST_MAX_ROWS
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
         sel_impl = cfg.select_impl
         if sel_impl == "auto":
+            # the win region is PER-DEVICE row count: under data parallelism
+            # each device's kernel sees M/dp scenes
             sel_impl = "fused" if (cfg.num_decompose == 2
-                                   and M * K >= SELECT_FUSED_MIN_ROWS
+                                   and (M // dp) * K >= SELECT_FUSED_MIN_ROWS
                                    and jax.default_backend() == "tpu") \
                 else "xla"
         if sel_impl == "fused":
@@ -615,16 +618,30 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
             # Per-scene operands pass UNREPEATED — the kernel's (m, k) grid
             # index maps realize the K-repeat for free, so none of the
             # repeated operands ever materializes in HBM. Interpret mode
-            # keeps CPU meshes/tests working.
+            # keeps CPU meshes/tests working. Under a mesh the call shard_maps
+            # over "data" (rows are independent; a bare pallas_call is not
+            # SPMD-partitionable).
             sel_dt = jnp.bfloat16 if cfg.select_dtype == "bfloat16" \
                 else jnp.float32
             z_km = jnp.transpose(sg(pz_sample).reshape(M, K, -1), (1, 0, 2))
-            dist = select_decode(
+            kernel = functools.partial(
+                select_decode, mode="dist", dtype=sel_dt,
+                interpret=jax.default_backend() != "tpu")
+            if dp > 1:
+                from jax.sharding import PartitionSpec as _P
+                kernel = jax.shard_map(
+                    kernel, mesh=mesh,
+                    in_specs=(_P(), _P("data", None), _P(None, "data", None),
+                              _P("data", None), _P("data", None),
+                              _P("data", None)),
+                    out_specs=_P("data", None),
+                    # pallas_call's out_shape carries no varying-mesh-axes
+                    # type, so the vma checker cannot see through it
+                    check_vma=False)
+            dist = kernel(
                 sg(params), sg(past_feature), z_km, sg(state0),
                 batch.past.reshape(M, -1),
-                (batch.future - batch.cur_location).reshape(M, -1),
-                mode="dist", dtype=sel_dt,
-                interpret=jax.default_backend() != "tpu")          # [M, K]
+                (batch.future - batch.cur_location).reshape(M, -1))  # [M, K]
             diverse = jnp.zeros((M, K, cfg.future_length, 2),
                                 batch.future.dtype)
         elif cfg.select_dtype == "bfloat16":

@@ -174,6 +174,37 @@ class TestSelectDecodeKernel:
             STTODEConfig(select_impl="fused",
                          diverse_grad="dense").validate()
 
+    def test_fused_under_data_parallel_mesh(self, rng):
+        """select_impl='fused' with a dp=8 mesh: the kernel shard_maps over
+        'data' (rows are independent) and must equal the meshless run."""
+        from sttode_tpu.models import Batch, sttode_forward
+        from sttode_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=8, tp=1)
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           past_length=8, future_length=12, sample_k=5,
+                           select_impl="fused").validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        B, N = 8, 2
+        M = B * N
+        past = rng.standard_normal((M, 8, 2)).astype(np.float32)
+        fut = rng.standard_normal((M, 12, 2)).astype(np.float32)
+        past_vel = np.diff(past, axis=1, prepend=past[:, :1])
+        fut_vel = np.diff(np.concatenate([past[:, -1:], fut], 1), axis=1)
+        batch = Batch(past=jnp.asarray(past), past_vel=jnp.asarray(past_vel),
+                      future=jnp.asarray(fut), future_vel=jnp.asarray(fut_vel),
+                      valid=jnp.ones((M,), jnp.float32),
+                      batch_size=B, agent_num=N)
+        key = jax.random.PRNGKey(5)
+
+        def loss(p, mesh_):
+            return sttode_forward(p, cfg, batch, key,
+                                  mesh=mesh_).total_loss
+
+        l0 = jax.jit(lambda p: loss(p, None))(params)
+        l1 = jax.jit(lambda p: loss(p, mesh))(params)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+
     def test_auto_validates_and_runs(self, rng):
         """'auto' is legal even where 'fused' is not (it falls back to xla),
         and on CPU / below the row threshold it matches the xla path
