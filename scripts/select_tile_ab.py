@@ -33,7 +33,7 @@ from sttode_tpu.utils import profiling
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="512")
-    ap.add_argument("--tiles", default="256,512,1024")
+    ap.add_argument("--tiles", default="512:1,512:2,512:4")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--scan_steps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
@@ -41,7 +41,7 @@ def main():
 
     N = 11
     S = args.scan_steps
-    tiles = [int(t) for t in args.tiles.split(",")]
+    tiles = [t for t in args.tiles.split(",")]
     base = STTODEConfig(past_length=5, future_length=10,
                         select_dtype="bfloat16", select_impl="fused")
     for B in [int(b) for b in args.batches.split(",")]:
@@ -55,7 +55,9 @@ def main():
 
         runs = {}
         for t in tiles:
-            m.select_decode = functools.partial(sd.select_decode, m_tile=t)
+            mt, _, kb = t.partition(":")
+            m.select_decode = functools.partial(
+                sd.select_decode, m_tile=int(mt), k_block=int(kb or 1))
             step = make_train_step(cfg, opt, donate=False, scan_steps=S)
             try:
                 _, _, mm = step(params, opt_state, stacked, key)

@@ -190,7 +190,7 @@ def _select_kernel(pf_ref, z_ref, state0_ref, xt_ref, fut_ref,
                    *, mode: str, dtype, t_past: int):
     f32 = jnp.float32
     gp = _GATE_PAD
-    z = z_ref[0]                                                  # [TM, Z]
+    k_block = z_ref.shape[0]
 
     # z-independent first-layer partials: computed once per m-tile (k == 0),
     # reused for the remaining K−1 samples from VMEM scratch
@@ -202,52 +202,59 @@ def _select_kernel(pf_ref, z_ref, state0_ref, xt_ref, fut_ref,
                           + b1c[...])                             # [TM, 1024]
         base1_ref[...] = _mm(pf, w1y1_pf[...]) + b1y1[...]        # [TM, 512]
 
-    # block 0 — ONE fused first layer for both heads, lanes [y | x]
-    acat = jax.nn.relu(base0_ref[...] + _mm(z, w1c_z[...]))       # [TM, 1024]
-    w512 = w2y0.shape[0]
-    a_y = acat[:, :w512].astype(dtype)
-    a_x = acat[:, w512:].astype(dtype)
-    a2y = jax.nn.relu(_mm(a_y, w2y0[...]) + b2y0[...].astype(f32))
-    y0 = _mm(a2y.astype(dtype), w3y0[...]) + b3y0[...].astype(f32)
-    a2x = jax.nn.relu(_mm(a_x, w2x[...]) + b2x[...].astype(f32))
-    x0 = _mm(a2x.astype(dtype), w3x[...]) + b3x[...].astype(f32)
+    # k_block > 1 emits several INDEPENDENT per-sample chains per grid step —
+    # interleavable work for the scheduler to hide each chain's serial
+    # latency (the GRU loop's recurrent matmul chain is the kernel's floor)
+    for kb in range(k_block):
+        z = z_ref[kb]                                             # [TM, Z]
 
-    # block 1 — conv band matmul, ONE folded input projection for all
-    # T·3 gates (gate lanes padded to 128: all slices tile-aligned), then
-    # only the recurrent matmul stays in the sequential loop
-    res = (xt_ref[...] - x0).astype(dtype)                        # [TM, 2T]
-    hflat = jax.nn.relu(_mm(res, wc[...]) +
-                        bc[...].astype(f32)).astype(dtype)
-    gi = _mm(hflat, fold[...]).astype(dtype)                      # [TM, T·384]
+        # block 0 — ONE fused first layer for both heads, lanes [y | x]
+        acat = jax.nn.relu(base0_ref[...] + _mm(z, w1c_z[...]))   # [TM, 1024]
+        w512 = w2y0.shape[0]
+        a_y = acat[:, :w512].astype(dtype)
+        a_x = acat[:, w512:].astype(dtype)
+        a2y = jax.nn.relu(_mm(a_y, w2y0[...]) + b2y0[...].astype(f32))
+        y0 = _mm(a2y.astype(dtype), w3y0[...]) + b3y0[...].astype(f32)
+        a2x = jax.nn.relu(_mm(a_x, w2x[...]) + b2x[...].astype(f32))
+        x0 = _mm(a2x.astype(dtype), w3x[...]) + b3x[...].astype(f32)
 
-    st = jnp.zeros((z.shape[0], gp), dtype)  # block 1's GRU starts fresh
-    for t in range(t_past):
-        gh = _mm(st, whh[...])                                    # [TM, 384]
-        o = 3 * gp * t
-        r = jax.nn.sigmoid(gi[:, o:o + gp] + gh[:, :gp] + b_r[...])
-        zz = jax.nn.sigmoid(gi[:, o + gp:o + 2 * gp] + gh[:, gp:2 * gp]
-                            + b_z[...])
-        n = jnp.tanh(gi[:, o + 2 * gp:o + 3 * gp] + b_in[...]
-                     + r * (gh[:, 2 * gp:] + b_hn[...]))
-        st = ((1.0 - zz) * n + zz * st.astype(f32)).astype(dtype)
+        # block 1 — conv band matmul, ONE folded input projection for all
+        # T·3 gates (gate lanes padded to 128: all slices tile-aligned), then
+        # only the recurrent matmul stays in the sequential loop
+        res = (xt_ref[...] - x0).astype(dtype)                    # [TM, 2T]
+        hflat = jax.nn.relu(_mm(res, wc[...]) +
+                            bc[...].astype(f32)).astype(dtype)
+        gi = _mm(hflat, fold[...]).astype(dtype)                  # [TM, T·384]
 
-    a1 = jax.nn.relu(base1_ref[...] + _mm(z, w1y1_z[...])
-                     + _mm(st, w1y1_s[...]))
-    a2 = jax.nn.relu(_mm(a1.astype(dtype), w2y1[...]) + b2y1[...].astype(f32))
-    y1 = _mm(a2.astype(dtype), w3y1[...]) + b3y1[...].astype(f32)
+        st = jnp.zeros((z.shape[0], gp), dtype)  # fresh GRU state (h0=None)
+        for t in range(t_past):
+            gh = _mm(st, whh[...])                                # [TM, 384]
+            o = 3 * gp * t
+            r = jax.nn.sigmoid(gi[:, o:o + gp] + gh[:, :gp] + b_r[...])
+            zz = jax.nn.sigmoid(gi[:, o + gp:o + 2 * gp] + gh[:, gp:2 * gp]
+                                + b_z[...])
+            n = jnp.tanh(gi[:, o + 2 * gp:o + 3 * gp] + b_in[...]
+                         + r * (gh[:, 2 * gp:] + b_hn[...]))
+            st = ((1.0 - zz) * n + zz * st.astype(f32)).astype(dtype)
 
-    pred = y0 + y1                                                 # fp32
-    if mode == "dist":
-        d = fut_ref[...] - pred
-        out_ref[...] = jnp.sum(d * d, axis=1, keepdims=True)[None]
-    else:
-        out_ref[...] = pred[None]
+        a1 = jax.nn.relu(base1_ref[...] + _mm(z, w1y1_z[...])
+                         + _mm(st, w1y1_s[...]))
+        a2 = jax.nn.relu(_mm(a1.astype(dtype), w2y1[...])
+                         + b2y1[...].astype(f32))
+        y1 = _mm(a2.astype(dtype), w3y1[...]) + b3y1[...].astype(f32)
+
+        pred = y0 + y1                                             # fp32
+        if mode == "dist":
+            d = fut_ref[...] - pred
+            out_ref[kb] = jnp.sum(d * d, axis=1, keepdims=True)
+        else:
+            out_ref[kb] = pred
 
 
 def select_decode(params: dict, past_feature: jnp.ndarray, z_km: jnp.ndarray,
                   state0: jnp.ndarray, x_true_flat: jnp.ndarray,
                   future_rel_flat: jnp.ndarray,
-                  *, mode: str = "dist", m_tile: int = 512,
+                  *, mode: str = "dist", m_tile: int = 512, k_block: int = 1,
                   dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
     """Fused selection decode over M scenes·agents × K samples.
 
@@ -286,16 +293,18 @@ def select_decode(params: dict, past_feature: jnp.ndarray, z_km: jnp.ndarray,
     x_true_flat = _pad(x_true_flat, jnp.float32)
     future_rel_flat = _pad(future_rel_flat, jnp.float32)
 
+    assert K % k_block == 0, (K, k_block)
     scene_spec = lambda w: pl.BlockSpec((m_tile, w), lambda i, k: (i, 0))
     const_spec = lambda a: pl.BlockSpec(a.shape, lambda i, k: (0,) * a.ndim)
     if mode == "dist":
         # Mosaic wants the last two block dims divisible by (8, 128) or
         # equal to the array dims — a [·, K] column write violates that, so
         # dist lands k-major [K, mp, 1] and transposes on the way out (tiny)
-        out_spec = pl.BlockSpec((1, m_tile, 1), lambda i, k: (k, i, 0))
+        out_spec = pl.BlockSpec((k_block, m_tile, 1), lambda i, k: (k, i, 0))
         out_shape = (K, mp, 1)
     else:
-        out_spec = pl.BlockSpec((1, m_tile, t_fut2), lambda i, k: (k, i, 0))
+        out_spec = pl.BlockSpec((k_block, m_tile, t_fut2),
+                                lambda i, k: (k, i, 0))
         out_shape = (K, mp, t_fut2)
     base0_w = weights[0].shape[1]                 # fused block-0 L1 width
     base1_w = weights[-4].shape[0]                # block-1 L1 width
@@ -303,9 +312,9 @@ def select_decode(params: dict, past_feature: jnp.ndarray, z_km: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_select_kernel, mode=mode, dtype=dtype,
                           t_past=t_past),
-        grid=(mp // m_tile, K),
+        grid=(mp // m_tile, K // k_block),
         in_specs=[scene_spec(d2),
-                  pl.BlockSpec((1, m_tile, zw), lambda i, k: (k, i, 0)),
+                  pl.BlockSpec((k_block, m_tile, zw), lambda i, k: (k, i, 0)),
                   scene_spec(_GRU_H), scene_spec(2 * t_past),
                   scene_spec(t_fut2)]
                  + [const_spec(w) for w in weights],

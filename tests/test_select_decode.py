@@ -96,6 +96,17 @@ class TestSelectDecodeKernel:
         np.testing.assert_allclose(np.asarray(got).ravel(), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_k_block(self, setup):
+        """k_block=4 processes 4 independent samples per grid step (latency
+        interleaving); results must be identical to k_block=1."""
+        cfg, params, (M, K), pf, z, past, cur, fut, state0 = setup
+        g1 = _kernel_call(cfg, params, pf, z, past, cur, fut, state0, K,
+                          dtype=jnp.float32, k_block=1)
+        g4 = _kernel_call(cfg, params, pf, z, past, cur, fut, state0, K,
+                          dtype=jnp.float32, k_block=4)
+        np.testing.assert_allclose(np.asarray(g4), np.asarray(g1),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_multiple_scene_tiles(self, setup):
         """m_tile=16 < M forces several m-tiles — the k-major grid must
         recompute the scratch bases at each new tile's k=0."""
