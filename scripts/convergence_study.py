@@ -64,6 +64,10 @@ def main():
                     help="bf16 best-of-K selection decode (winner recomputed "
                          "fp32) — the convergence A/B evidence for adopting "
                          "it lives in CONVERGENCE.md")
+    ap.add_argument("--select_impl", default="xla",
+                    choices=("xla", "fused", "auto"),
+                    help="best-of-K selection route (fused = the Pallas "
+                         "selection-decode kernel)")
     args = ap.parse_args()
 
     train = make_social_scenes(args.train_scenes, seed=0)
@@ -77,7 +81,8 @@ def main():
                        curvature=args.curvature,
                        attn_impl="dense" if args.attn_metric == "poincare"
                        else "auto",
-                       select_dtype=args.select_dtype)
+                       select_dtype=args.select_dtype,
+                       select_impl=args.select_impl)
 
     key = jax.random.PRNGKey(0)
     key, k_init = jax.random.split(key)
@@ -122,7 +127,9 @@ def main():
     with open("CONVERGENCE.md", "a") as f:
         recipe = (f"B={args.scenes_per_batch}"
                   + (f"×scan{args.scan_steps}" if args.scan_steps > 1 else "")
-                  + ("+bf16sel" if args.select_dtype == "bfloat16" else ""))
+                  + ("+bf16sel" if args.select_dtype == "bfloat16" else "")
+                  + (f"+{args.select_impl}sel"
+                     if args.select_impl != "xla" else ""))
         f.write(f"\n## Run: {args.epochs} epochs, {args.train_scenes} train "
                 f"scenes, {recipe}, compat={args.compat}/{args.attn_axis}, "
                 f"ode={ode_desc}, "
