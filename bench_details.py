@@ -91,6 +91,23 @@ def bench_train_and_infer(lines):
     lines.append(f"| train step, scanned ×{S} per dispatch (same batch shape) "
                  f"| {dt * 1e3:.2f} ms | {B / dt:,.0f} scenes/s |")
 
+    # the recommended production recipe (round-3 notes): B=128, scanned ×8,
+    # bf16 best-of-K selection (winner recomputed fp32, GRU un-hoisted at
+    # selection row counts)
+    Bp = 128
+    cfg_p = cfg._replace(select_dtype="bfloat16").validate()
+    params_p = sttode_init(jax.random.PRNGKey(0), cfg_p)
+    opt_state_p = opt.init(params_p)
+    stacked_p = stack_batches([make_batch(cfg_p, Bp, N, seed=i)
+                               for i in range(S)])
+    step_p = make_train_step(cfg_p, opt, donate=False, scan_steps=S)
+    r = profiling.time_fn(step_p, params_p, opt_state_p, stacked_p, key,
+                          iters=12)
+    dt = r["seconds_per_call"] / S
+    lines.append(f"| train step, production recipe (B={Bp} × {N}, scanned "
+                 f"×{S}, bf16 selection) | {dt * 1e3:.2f} ms | "
+                 f"{Bp / dt:,.0f} scenes/s |")
+
     # inference device time: key-chained calls in one dispatch, two-window
     # difference (a lone sub-ms call is unmeasurable through the tunnel)
     def make_infer(n):
