@@ -26,39 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from bench_details import _timed
-from sttode_tpu.nn.recurrent import GRUParams, gru_init
+from sttode_tpu.nn.recurrent import GRUParams, gru, gru_init
 
 
 def gru_variant(params, xs, hoist: bool):
-    B, T, _ = xs.shape
-    H = params.w_hh.shape[0]
-    h0 = jnp.zeros((B, H), xs.dtype)
-    if hoist:
-        gi_all = xs @ params.w_ih + params.b_ih
-
-        def step(h, gi):
-            gh = h @ params.w_hh + params.b_hh
-            i_r, i_z, i_n = gi[..., :H], gi[..., H:2*H], gi[..., 2*H:]
-            h_r, h_z, h_n = gh[..., :H], gh[..., H:2*H], gh[..., 2*H:]
-            r = jax.nn.sigmoid(i_r + h_r)
-            z = jax.nn.sigmoid(i_z + h_z)
-            n = jnp.tanh(i_n + r * h_n)
-            return (1.0 - z) * n + z * h, None
-
-        h, _ = jax.lax.scan(step, h0, jnp.swapaxes(gi_all, 0, 1))
-        return h
-
-    def step(h, x_t):
-        gi = x_t @ params.w_ih + params.b_ih
-        gh = h @ params.w_hh + params.b_hh
-        i_r, i_z, i_n = gi[..., :H], gi[..., H:2*H], gi[..., 2*H:]
-        h_r, h_z, h_n = gh[..., :H], gh[..., H:2*H], gh[..., 2*H:]
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        return (1.0 - z) * n + z * h, None
-
-    h, _ = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+    """The PRODUCTION gru with the hoist flag under test; the unused per-step
+    outputs ys are DCE'd under jit, leaving exactly the final-state program
+    the selection decode runs."""
+    _, h = gru(params, xs, hoist=hoist)
     return h
 
 

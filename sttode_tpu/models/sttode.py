@@ -546,8 +546,10 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     """Full CVAE training step forward (reference STTODENet.forward,
     model/STTODE.py:553-568): posterior decode + KL + best-of-K diverse loss.
 
-    ``mesh`` is only consumed by ``attn_impl="ring"``/``"ulysses"``
-    (sequence-parallel attention); every other route ignores it."""
+    ``mesh`` is consumed by ``attn_impl="ring"``/``"ulysses"`` (sequence-
+    parallel attention) and by the fused/auto selection decode (shard_map
+    over "data" + per-device routing thresholds); other routes ignore it —
+    under data parallelism, pass it even when attention is dense."""
     k_enc, k_fenc, k_q, k_p = jax.random.split(rng, 4)
     B, N = batch.batch_size, batch.agent_num
     M = B * N
@@ -602,8 +604,10 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # "dense" mode keeps plain autodiff through all K for exact-tie
         # gradient-splitting semantics.
         sg = jax.lax.stop_gradient
-        sel_hoist = (M * K) <= SELECT_GRU_HOIST_MAX_ROWS
         dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        # both routing thresholds reason about PER-DEVICE row counts: under
+        # data parallelism each device decodes M/dp scenes
+        sel_hoist = (M // dp) * K <= SELECT_GRU_HOIST_MAX_ROWS
         sel_impl = cfg.select_impl
         if sel_impl == "auto":
             # the win region is PER-DEVICE row count: under data parallelism

@@ -1,7 +1,7 @@
 """Fused selection-decode kernel vs the models.decode oracle.
 
 Run in Pallas interpret mode on CPU; the on-chip A/B lives in
-scripts/select_decode_ab.py and BENCHMARKS.md."""
+scripts/select_impl_ab.py (+ scripts/select_tile_ab.py) and BENCHMARKS.md."""
 
 import jax
 import jax.numpy as jnp
