@@ -254,8 +254,9 @@ def _select_kernel(pf_ref, z_ref, state0_ref, xt_ref, fut_ref,
 def select_decode(params: dict, past_feature: jnp.ndarray, z_km: jnp.ndarray,
                   state0: jnp.ndarray, x_true_flat: jnp.ndarray,
                   future_rel_flat: jnp.ndarray,
-                  *, mode: str = "dist", m_tile: int = 512, k_block: int = 1,
-                  dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+                  *, mode: str = "dist", m_tile: int | None = None,
+                  k_block: int = 1, dtype=jnp.bfloat16,
+                  interpret: bool = False) -> jnp.ndarray:
     """Fused selection decode over M scenes·agents × K samples.
 
     past_feature [M, 2D] and state0 [M, 96] UNREPEATED (the kernel's index
@@ -274,6 +275,11 @@ def select_decode(params: dict, past_feature: jnp.ndarray, z_km: jnp.ndarray,
     t_past = x_true_flat.shape[1] // 2
     weights = prep_select_weights(params, d2, zw, t_past, dtype)
 
+    if m_tile is None:
+        # dtype-aware default: Mosaic's scoped-VMEM stack measured 17.31 MB
+        # at fp32/512 (over the 16 MB limit — compile OOM) and fits at
+        # fp32/256 and bf16/512
+        m_tile = 512 if dtype == jnp.bfloat16 else 256
     m_tile = min(m_tile, _round_up(M, 16))
     mp = _round_up(M, m_tile)
 

@@ -417,8 +417,47 @@ SELECT_GRU_HOIST_MAX_ROWS = 4096
 # select_impl="auto" routes the selection decode to the fused Pallas kernel
 # at and above this many rows: measured win ×1.038 at R=112,640 (B=512),
 # measured losses ×0.87-0.95 at R ≤ 56,320 (B ≤ 256) — the boundary lies in
-# between; set conservatively just under the measured win point.
+# between; set conservatively just under the measured win point. The same
+# threshold routes the INFERENCE decode to the kernel's traj mode, where the
+# win is larger (×2.72 at R=112,640: the XLA inference decode materializes
+# its [R, 512]-class intermediates with no bf16/unhoist mitigations).
 SELECT_FUSED_MIN_ROWS = 100_000
+
+
+def _resolve_select_impl(cfg: STTODEConfig, rows_per_device: int) -> str:
+    """'auto' → 'fused' only where the kernel's measured win region holds
+    (per-device rows, TPU backend, the 2-block structure it supports)."""
+    if cfg.select_impl != "auto":
+        return cfg.select_impl
+    return "fused" if (cfg.num_decompose == 2
+                       and rows_per_device >= SELECT_FUSED_MIN_ROWS
+                       and jax.default_backend() == "tpu") else "xla"
+
+
+def _fused_select_call(params, past_feature, z, state0, past_traj,
+                       target_rel_flat, *, mode, dtype, mesh, dp):
+    """Call the fused selection kernel, shard_mapped over "data" under a
+    mesh (a bare pallas_call is not SPMD-partitionable). ``z`` arrives in
+    the sampler's [M·K, Z] layout and is re-laid k-major for the kernel's
+    (m, k) grid; per-scene operands pass UNREPEATED."""
+    M = past_feature.shape[0]
+    K = z.shape[0] // M
+    z_km = jnp.transpose(z.reshape(M, K, -1), (1, 0, 2))
+    kernel = functools.partial(select_decode, mode=mode, dtype=dtype,
+                               interpret=jax.default_backend() != "tpu")
+    if dp > 1:
+        from jax.sharding import PartitionSpec as _P
+        kernel = jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(_P(), _P("data", None), _P(None, "data", None),
+                      _P("data", None), _P("data", None), _P("data", None)),
+            out_specs=_P("data", None) if mode == "dist"
+            else _P(None, "data", None),
+            # pallas_call's out_shape carries no varying-mesh-axes type, so
+            # the vma checker cannot see through it
+            check_vma=False)
+    return kernel(params, past_feature, z_km, state0,
+                  past_traj.reshape(M, -1), target_rel_flat)
 
 def decode_block0_state(params: dict, past_traj: jnp.ndarray) -> jnp.ndarray:
     """Decompose block 1's conv+GRU state [M, 96]. Block 1 always sees
@@ -608,44 +647,21 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # both routing thresholds reason about PER-DEVICE row counts: under
         # data parallelism each device decodes M/dp scenes
         sel_hoist = (M // dp) * K <= SELECT_GRU_HOIST_MAX_ROWS
-        sel_impl = cfg.select_impl
-        if sel_impl == "auto":
-            # the win region is PER-DEVICE row count: under data parallelism
-            # each device's kernel sees M/dp scenes
-            sel_impl = "fused" if (cfg.num_decompose == 2
-                                   and (M // dp) * K >= SELECT_FUSED_MIN_ROWS
-                                   and jax.default_backend() == "tpu") \
-                else "xla"
+        sel_impl = _resolve_select_impl(cfg, (M // dp) * K)
         if sel_impl == "fused":
             # one Pallas kernel for the whole K-decode + distance: only an
             # [M, K] fp32 matrix leaves the chip (kernels/select_decode.py).
             # Per-scene operands pass UNREPEATED — the kernel's (m, k) grid
             # index maps realize the K-repeat for free, so none of the
             # repeated operands ever materializes in HBM. Interpret mode
-            # keeps CPU meshes/tests working. Under a mesh the call shard_maps
-            # over "data" (rows are independent; a bare pallas_call is not
-            # SPMD-partitionable).
+            # keeps CPU meshes/tests working.
             sel_dt = jnp.bfloat16 if cfg.select_dtype == "bfloat16" \
                 else jnp.float32
-            z_km = jnp.transpose(sg(pz_sample).reshape(M, K, -1), (1, 0, 2))
-            kernel = functools.partial(
-                select_decode, mode="dist", dtype=sel_dt,
-                interpret=jax.default_backend() != "tpu")
-            if dp > 1:
-                from jax.sharding import PartitionSpec as _P
-                kernel = jax.shard_map(
-                    kernel, mesh=mesh,
-                    in_specs=(_P(), _P("data", None), _P(None, "data", None),
-                              _P("data", None), _P("data", None),
-                              _P("data", None)),
-                    out_specs=_P("data", None),
-                    # pallas_call's out_shape carries no varying-mesh-axes
-                    # type, so the vma checker cannot see through it
-                    check_vma=False)
-            dist = kernel(
-                sg(params), sg(past_feature), z_km, sg(state0),
-                batch.past.reshape(M, -1),
-                (batch.future - batch.cur_location).reshape(M, -1))  # [M, K]
+            dist = _fused_select_call(
+                sg(params), sg(past_feature), sg(pz_sample), sg(state0),
+                batch.past,
+                (batch.future - batch.cur_location).reshape(M, -1),
+                mode="dist", dtype=sel_dt, mesh=mesh, dp=dp)       # [M, K]
             diverse = jnp.zeros((M, K, cfg.future_length, 2),
                                 batch.future.dtype)
         elif cfg.select_dtype == "bfloat16":
@@ -718,7 +734,15 @@ def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
                      sample_k: int | None = None, mesh=None) -> jnp.ndarray:
     """Best-of-K prior decode (reference STTODENet.inference,
     model/STTODE.py:574-623). Returns [K, M, T_f, 2] in scene-normalized
-    coordinates; the caller re-adds scene_orig (data layer's job)."""
+    coordinates; the caller re-adds scene_orig (data layer's job).
+
+    ``select_impl`` routes the K-decode exactly as in training: "fused"/
+    "auto" at ≥ SELECT_FUSED_MIN_ROWS per-device rows runs the whole decode
+    as the Pallas kernel's traj mode — measured ×2.72 at B=512 (the XLA
+    inference decode has no bf16/unhoist mitigations, so the kernel's win
+    is larger here than in the train step; BENCHMARKS.md round-3 notes).
+    Always fp32 (inference outputs are real, unlike the argmin-only
+    selection decode select_dtype governs)."""
     K = sample_k or cfg.sample_k
     k_enc, k_p = jax.random.split(rng)
     M = batch.batch_size * batch.agent_num
@@ -728,8 +752,20 @@ def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     past_feature_k = jnp.repeat(past_feature, K, axis=0)
     pz = prior(params, cfg, past_feature_k)
     z = pz.rsample(k_p)
+
+    dp = mesh.shape.get("data", 1) if mesh is not None else 1
+    if _resolve_select_impl(cfg, (M // dp) * K) == "fused" \
+            and cfg.num_decompose == 2:
+        state0 = decode_block0_state(params, batch.past)
+        rel = _fused_select_call(
+            params, past_feature, z, state0, batch.past,
+            jnp.zeros((M, cfg.future_length * 2), batch.past.dtype),
+            mode="traj", dtype=jnp.float32, mesh=mesh, dp=dp)  # [K, M, 2T_f]
+        return rel.reshape(K, M, cfg.future_length, 2) \
+            + batch.cur_location[None]
+
     diverse, _ = decode(params, cfg, past_feature_k, z, batch.past,
                         batch.cur_location, K,
-                        gru_hoist=(M * K) <= SELECT_GRU_HOIST_MAX_ROWS)
+                        gru_hoist=(M // dp) * K <= SELECT_GRU_HOIST_MAX_ROWS)
     return jnp.transpose(diverse.reshape(M, K, cfg.future_length, 2),
                          (1, 0, 2, 3))
