@@ -424,14 +424,26 @@ SELECT_GRU_HOIST_MAX_ROWS = 4096
 SELECT_FUSED_MIN_ROWS = 100_000
 
 
-def _resolve_select_impl(cfg: STTODEConfig, rows_per_device: int) -> str:
-    """'auto' → 'fused' only where the kernel's measured win region holds
-    (per-device rows, TPU backend, the 2-block structure it supports)."""
-    if cfg.select_impl != "auto":
-        return cfg.select_impl
-    return "fused" if (cfg.num_decompose == 2
-                       and rows_per_device >= SELECT_FUSED_MIN_ROWS
-                       and jax.default_backend() == "tpu") else "xla"
+# test hook: lets the CPU suite exercise the inference kernel route, which
+# is otherwise TPU-gated (interpret-mode Pallas is far too slow to select
+# silently for a served model whose checkpointed config says "fused")
+_ALLOW_FUSED_INFERENCE_INTERPRET = False
+
+
+def _select_routing(cfg: STTODEConfig, M: int, K: int, mesh):
+    """Shared train/inference routing state: (dp, per-device rows,
+    resolved select_impl, GRU hoist flag). Both thresholds reason about
+    PER-DEVICE row counts — under data parallelism each device decodes
+    M/dp scenes."""
+    dp = mesh.shape.get("data", 1) if mesh is not None else 1
+    rows = (M // dp) * K
+    impl = cfg.select_impl
+    if impl == "auto":
+        impl = "fused" if (cfg.num_decompose == 2
+                           and rows >= SELECT_FUSED_MIN_ROWS
+                           and jax.default_backend() == "tpu") else "xla"
+    hoist = rows <= SELECT_GRU_HOIST_MAX_ROWS
+    return dp, rows, impl, hoist
 
 
 def _fused_select_call(params, past_feature, z, state0, past_traj,
@@ -643,11 +655,7 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # "dense" mode keeps plain autodiff through all K for exact-tie
         # gradient-splitting semantics.
         sg = jax.lax.stop_gradient
-        dp = mesh.shape.get("data", 1) if mesh is not None else 1
-        # both routing thresholds reason about PER-DEVICE row counts: under
-        # data parallelism each device decodes M/dp scenes
-        sel_hoist = (M // dp) * K <= SELECT_GRU_HOIST_MAX_ROWS
-        sel_impl = _resolve_select_impl(cfg, (M // dp) * K)
+        dp, _, sel_impl, sel_hoist = _select_routing(cfg, M, K, mesh)
         if sel_impl == "fused":
             # one Pallas kernel for the whole K-decode + distance: only an
             # [M, K] fp32 matrix leaves the chip (kernels/select_decode.py).
@@ -736,13 +744,17 @@ def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     model/STTODE.py:574-623). Returns [K, M, T_f, 2] in scene-normalized
     coordinates; the caller re-adds scene_orig (data layer's job).
 
-    ``select_impl`` routes the K-decode exactly as in training: "fused"/
-    "auto" at ≥ SELECT_FUSED_MIN_ROWS per-device rows runs the whole decode
-    as the Pallas kernel's traj mode — measured ×2.72 at B=512 (the XLA
-    inference decode has no bf16/unhoist mitigations, so the kernel's win
-    is larger here than in the train step; BENCHMARKS.md round-3 notes).
-    Always fp32 (inference outputs are real, unlike the argmin-only
-    selection decode select_dtype governs)."""
+    ``select_impl`` "fused"/"auto" runs the whole decode as the Pallas
+    kernel's traj mode — measured ×2.72 at B=512 (the XLA inference decode
+    has no bf16/unhoist mitigations, so the kernel's win is larger here
+    than in the train step; BENCHMARKS.md round-3 notes). The kernel route
+    is TPU-only for inference: a checkpointed "fused" config evaluated on
+    a CPU/GPU host falls back to the XLA decode rather than silently
+    running interpret-mode Pallas. The fused route is NON-differentiable
+    (forward-only kernel, loud missing-VJP error) — use select_impl="xla"
+    to differentiate through inference. Always fp32 (inference outputs
+    are real, unlike the argmin-only selection decode select_dtype
+    governs)."""
     K = sample_k or cfg.sample_k
     k_enc, k_p = jax.random.split(rng)
     M = batch.batch_size * batch.agent_num
@@ -753,9 +765,10 @@ def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
     pz = prior(params, cfg, past_feature_k)
     z = pz.rsample(k_p)
 
-    dp = mesh.shape.get("data", 1) if mesh is not None else 1
-    if _resolve_select_impl(cfg, (M // dp) * K) == "fused" \
-            and cfg.num_decompose == 2:
+    dp, _, sel_impl, sel_hoist = _select_routing(cfg, M, K, mesh)
+    on_tpu = jax.default_backend() == "tpu" \
+        or _ALLOW_FUSED_INFERENCE_INTERPRET
+    if sel_impl == "fused" and on_tpu:
         state0 = decode_block0_state(params, batch.past)
         rel = _fused_select_call(
             params, past_feature, z, state0, batch.past,
@@ -765,7 +778,6 @@ def sttode_inference(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
             + batch.cur_location[None]
 
     diverse, _ = decode(params, cfg, past_feature_k, z, batch.past,
-                        batch.cur_location, K,
-                        gru_hoist=(M // dp) * K <= SELECT_GRU_HOIST_MAX_ROWS)
+                        batch.cur_location, K, gru_hoist=sel_hoist)
     return jnp.transpose(diverse.reshape(M, K, cfg.future_length, 2),
                          (1, 0, 2, 3))

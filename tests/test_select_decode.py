@@ -185,9 +185,12 @@ class TestSelectDecodeKernel:
             STTODEConfig(select_impl="fused",
                          diverse_grad="dense").validate()
 
-    def test_inference_fused_matches_xla(self, rng):
+    def test_inference_fused_matches_xla(self, rng, monkeypatch):
         """select_impl='fused' routes sttode_inference through the kernel's
-        traj mode; outputs must match the XLA decode (same z draws)."""
+        traj mode; outputs must match the XLA decode (same z draws). The
+        route is TPU-gated in production, so the CPU test opens the
+        interpret hook — and first asserts the gate itself: WITHOUT the
+        hook a fused config on this CPU host must take the XLA path."""
         from sttode_tpu.models import Batch, sttode_inference
 
         cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
@@ -207,10 +210,44 @@ class TestSelectDecodeKernel:
                       batch_size=B, agent_num=N)
         key = jax.random.PRNGKey(5)
         want = sttode_inference(params, cfg, batch, key)
+
+        gated = sttode_inference(params, cfg_f, batch, key)
+        np.testing.assert_array_equal(np.asarray(gated), np.asarray(want))
+
+        monkeypatch.setattr(m, "_ALLOW_FUSED_INFERENCE_INTERPRET", True)
         got = sttode_inference(params, cfg_f, batch, key)
         assert got.shape == want.shape == (5, M, 12, 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_inference_fused_under_data_parallel_mesh(self, rng, monkeypatch):
+        """The traj-mode shard_map branch (sharded axis in the MIDDLE output
+        dim) under a dp=8 mesh must equal the meshless kernel run."""
+        from sttode_tpu.models import Batch, sttode_inference
+        from sttode_tpu.parallel import make_mesh
+
+        monkeypatch.setattr(m, "_ALLOW_FUSED_INFERENCE_INTERPRET", True)
+        mesh = make_mesh(dp=8, tp=1)
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           past_length=8, future_length=12, sample_k=5,
+                           select_impl="fused").validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        B, N = 8, 2
+        M = B * N
+        past = rng.standard_normal((M, 8, 2)).astype(np.float32)
+        fut = rng.standard_normal((M, 12, 2)).astype(np.float32)
+        past_vel = np.diff(past, axis=1, prepend=past[:, :1])
+        fut_vel = np.diff(np.concatenate([past[:, -1:], fut], 1), axis=1)
+        batch = Batch(past=jnp.asarray(past), past_vel=jnp.asarray(past_vel),
+                      future=jnp.asarray(fut), future_vel=jnp.asarray(fut_vel),
+                      valid=jnp.ones((M,), jnp.float32),
+                      batch_size=B, agent_num=N)
+        key = jax.random.PRNGKey(5)
+        got0 = sttode_inference(params, cfg, batch, key)
+        got1 = jax.jit(lambda p: sttode_inference(p, cfg, batch, key,
+                                                  mesh=mesh))(params)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(got0),
+                                   rtol=1e-5, atol=1e-5)
 
     def test_fused_under_data_parallel_mesh(self, rng):
         """select_impl='fused' with a dp=8 mesh: the kernel shard_maps over
