@@ -97,3 +97,17 @@ class TestCliConfigPlumbing:
         assert cfg.past_length == 5 and cfg.future_length == 10
         cfg = model_config(p.parse_args(["--dataset", "eth"]))
         assert cfg.select_dtype == "float32"
+
+    def test_select_impl_flag_reaches_config(self):
+        """--select_impl threads parser → model_config → validated
+        STTODEConfig (and defaults to xla when absent)."""
+        from sttode_tpu.cli.common import base_parser, model_config
+        p = base_parser("t")
+        cfg = model_config(p.parse_args(
+            ["--dataset", "nba", "--select_impl", "auto"]))
+        assert cfg.select_impl == "auto"
+        cfg = model_config(p.parse_args(
+            ["--dataset", "nba", "--select_impl", "fused"]))
+        assert cfg.select_impl == "fused"
+        cfg = model_config(p.parse_args(["--dataset", "eth"]))
+        assert cfg.select_impl == "xla"
