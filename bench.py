@@ -2,61 +2,98 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measured config = the PRODUCTION RECIPE (BENCHMARKS.md headline table row 3,
+round-3 notes): B=128 scenes x 11 agents, 8 optimizer steps per device
+dispatch (lax.scan), bf16 best-of-K selection decode with the winner
+recomputed fp32 (select_dtype="bfloat16"), selection kernel routed by the
+measured win region (select_impl="auto"), GRU input projection un-hoisted at
+selection row counts (automatic above SELECT_GRU_HOIST_MAX_ROWS).
+
+Robustness (round-3 postmortem): BENCH_r03.json was rc=1 because the axon TPU
+backend failed to initialize at ``jax.devices()`` time and jax CACHES backend
+init failures in-process — an in-process retry can never succeed. So this
+file is a thin launcher: the actual bench runs in a child process, and on
+failure the launcher retries a FRESH child with backoff. The child is also
+bounded by a wall-clock timeout so a hung tunnel cannot eat the driver
+budget (first compile ~20-40 s; the persistent compilation cache keeps
+retries cheap).
+
 The reference publishes no numbers (BASELINE.md: README screenshots only), so
-``vs_baseline`` is measured against the reference recipe's own stepping model:
-the PyTorch code trains ETH per-scene (batch_size=1, ~6 agents/scene mean) —
-one optimizer step processes ONE scene. Our batched step processes
-``SCENES_PER_STEP`` scenes at once; vs_baseline = scenes/sec ÷ the reference's
-RTX-3090 scenes/sec estimate recorded below (measured from the reference's own
-per-iteration timing ballpark; updated when a retrained baseline lands).
+``vs_baseline`` is measured against the reference recipe's own stepping model
+(one optimizer step processes one scene-batch; scenes/s is shape-portable
+because the reference's per-scene cost is per-agent work, measured at
+32x11 — BASELINE_MEASURED.json).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
-
 
 # Reference throughput anchor: MEASURED, not estimated (BASELINE_MEASURED.json,
 # scripts/measure_reference_baseline.py). The actual reference stage-1
 # iteration (set_data_nba + forward + backward + Adam, fwd+bwd incl. the
-# 20-sample diverse decode, train.py:72-95) on this host's CPU torch at the
-# SAME workload shape as this bench (32 scenes x 11 agents, 5/10 horizons):
-# 2.09 s/iter -> 15.3 scenes/s (best-of-3 windows of 12 iters). The
-# reference's claimed RTX-3090 env is not available on this box; same-host
-# CPU-vs-CPU our step is 2.36x faster (timing section of
-# BASELINE_MEASURED.json), so a GPU anchor would land within a small factor.
+# 20-sample diverse decode, train.py:72-95) on this host's CPU torch at
+# 32 scenes x 11 agents, 5/10 horizons: 2.09 s/iter -> 15.3 scenes/s
+# (best-of-3 windows of 12 iters). The reference's claimed RTX-3090 env is
+# not available on this box; same-host CPU-vs-CPU our step is 2.36x faster
+# (timing section of BASELINE_MEASURED.json), so a GPU anchor would land
+# within a small factor.
 REFERENCE_SCENES_PER_S = 15.3
 
-SCENES_PER_STEP = 32     # NBA-style batch: 32 scenes × 11 agents
+# smoke-test overrides (BENCH_SCENES=4 BENCH_SCAN=2 BENCH_ITERS=2 lets the
+# full launcher→child→JSON path run quickly on a CPU box); driver runs use
+# the defaults = the production recipe
+SCENES_PER_STEP = int(os.environ.get("BENCH_SCENES", "128"))
 AGENTS = 11
-SCAN_STEPS = 8           # optimizer steps per device dispatch (lax.scan over
-                         # stacked batches): the device step is ~0.66 ms but
-                         # a dispatch through the tunneled chip costs ~4.5 ms,
-                         # so single-step dispatch under-reports the hardware
-                         # ~5×. This is the shipped train-loop path
-                         # (train.make_train_step(scan_steps=...)); numbers
-                         # in DESIGN.md §8a.
+SCAN_STEPS = int(os.environ.get("BENCH_SCAN", "8"))
+# optimizer steps per device dispatch (lax.scan over
+                         # stacked batches): the device step is ~2 ms but a
+                         # dispatch through the tunneled chip costs ~4.5-35 ms,
+                         # so single-step dispatch under-reports the hardware.
+                         # This is the shipped train-loop path
+                         # (train.make_train_step(scan_steps=...)).
+
+ATTEMPTS = 3
+BACKOFF_S = (15, 60)         # sleep before attempt 2, 3
+# Per-attempt wall-clock bounds: attempt 1 carries the cold compile (~20-40 s
+# per program through the tunnel, several programs); retries hit the
+# persistent compilation cache, so a retry that is slow is a HUNG tunnel, and
+# a shorter bound stops it from eating the driver budget.
+ATTEMPT_TIMEOUT_S = (1500, 420, 420)
 
 
-def main():
+def run_bench():
+    """The actual benchmark — runs in the child process."""
     from sttode_tpu.utils.compilation_cache import enable as _enable_cache
     _enable_cache()
     import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        # smoke-test hook: this box's sitecustomize imports jax at interpreter
+        # start and registers the axon TPU platform, so the env var alone is
+        # not enough to pin a platform — the config API is (tests/conftest.py)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
+    import numpy as np
     import optax
     from sttode_tpu.models import Batch, STTODEConfig, sttode_init
     from sttode_tpu.train import make_train_step, stack_batches
 
-    cfg = STTODEConfig(past_length=5, future_length=10)  # NBA horizons
+    # production recipe (BENCHMARKS.md headline row 3): bf16 selection decode,
+    # Pallas selection kernel routed by its measured win region
+    cfg = STTODEConfig(past_length=5, future_length=10,
+                       select_dtype="bfloat16",
+                       select_impl="auto").validate()
     rng = np.random.default_rng(0)
     M = SCENES_PER_STEP * AGENTS
 
-    def make_batch():
-        past = rng.standard_normal((M, cfg.past_length, 2)).astype(np.float32)
-        fut = rng.standard_normal((M, cfg.future_length, 2)).astype(np.float32)
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        past = r.standard_normal((M, cfg.past_length, 2)).astype(np.float32)
+        fut = r.standard_normal((M, cfg.future_length, 2)).astype(np.float32)
         past_vel = np.diff(past, axis=1, prepend=past[:, :1])
         fut_vel = np.diff(np.concatenate([past[:, -1:], fut], 1), axis=1)
         return Batch(past=jnp.asarray(past), past_vel=jnp.asarray(past_vel),
@@ -64,7 +101,7 @@ def main():
                      valid=jnp.ones((M,), jnp.float32),
                      batch_size=SCENES_PER_STEP, agent_num=AGENTS)
 
-    stacked = stack_batches([make_batch() for _ in range(SCAN_STEPS)])
+    stacked = stack_batches([make_batch(i) for i in range(SCAN_STEPS)])
 
     params = sttode_init(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(1e-4)
@@ -80,13 +117,13 @@ def main():
     _ = float(np.asarray(metrics["total"]).ravel()[-1])
 
     # best-of-3 windows: tunneled-chip dispatch latency is noisy run-to-run;
-    # windows are long (32 dispatches × 8 steps) to amortize the ~35 ms
-    # tunnel fetch latency that closes each window.
-    n_iters = 32
+    # windows are long (16 dispatches x 8 steps at B=128) to amortize the
+    # ~35 ms tunnel fetch latency that closes each window.
+    n_iters = int(os.environ.get("BENCH_ITERS", "16"))
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for i in range(n_iters):
+        for _i in range(n_iters):
             key, sub = jax.random.split(key)
             params, opt_state, metrics = step(params, opt_state, stacked, sub)
         assert np.isfinite(float(np.asarray(metrics["total"]).ravel()[-1]))
@@ -100,7 +137,47 @@ def main():
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_s / REFERENCE_SCENES_PER_S, 3),
     }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard-exit: the TPU PJRT plugin's non-daemon grant thread otherwise
+    # blocks interpreter teardown for minutes (see tests/conftest.py)
+    os._exit(0)
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_err = ""
+    for attempt in range(ATTEMPTS):
+        if attempt:
+            time.sleep(BACKOFF_S[min(attempt - 1, len(BACKOFF_S) - 1)])
+        tmo = ATTEMPT_TIMEOUT_S[min(attempt, len(ATTEMPT_TIMEOUT_S) - 1)]
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                cwd=here, capture_output=True, text=True, timeout=tmo)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt + 1}: timed out after {tmo}s"
+            print(last_err, file=sys.stderr)
+            continue
+        # accept any stdout line that parses as the bench JSON (warnings from
+        # the experimental backend also land on stdout in some jax versions)
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                obj = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(obj, dict) and "metric" in obj:
+                print(line)
+                return 0
+        last_err = (f"attempt {attempt + 1}: rc={r.returncode}\n"
+                    f"{r.stderr[-2000:]}")
+        print(last_err, file=sys.stderr)
+    print(f"bench failed after {ATTEMPTS} attempts", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        run_bench()
+    else:
+        sys.exit(main())

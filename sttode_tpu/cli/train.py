@@ -138,7 +138,8 @@ def main(argv=None):
             if saved_epoch != epoch:
                 path = save_checkpoint(cdir, epoch, params, opt_state, cfg)
             else:
-                path = os.path.join(cdir, f"model_{epoch:04d}")
+                from sttode_tpu.train.checkpoint import CKPT_FMT
+                path = os.path.join(cdir, CKPT_FMT.format(epoch))
             print(f"preempted: saved {path}; resume with "
                   f"--epoch_continue {epoch}", flush=True)
             break

@@ -42,6 +42,26 @@ EPS = 1e-4            # fp32 acos clip (reference core/manifolds/oblique.py:7)
 NORM_FLOOR = 1e-12
 NEG_INF = -1e30
 
+# The kernels run a MAXLESS softmax (no running-max pass): valid because the
+# geodesic scores are clamp-bounded above by 0 and below by a static constant
+# (oblique ∈ [-π, 0]; poincaré ≥ -(2/√c)·artanh(1-1e-5) = -12.21/√c). That
+# bound must stay above fp32 exp underflow (~-87; -80 with margin) or every
+# lane of a valid row flushes to 0 and the row returns zeros instead of a
+# softmax. 12.21/√c ≤ 80 ⇔ c ≥ 0.0233; enforced with margin here. Callers
+# wanting extreme negative curvature route to the jnp/XLA dense path, which
+# keeps the classic max-subtracted softmax.
+MIN_MAXLESS_CURVATURE = 0.024
+
+
+def _check_maxless_bounds(metric: str, curvature: float) -> None:
+    if metric == "poincare" and curvature < MIN_MAXLESS_CURVATURE:
+        raise ValueError(
+            f"Pallas MHGSA kernels require curvature >= "
+            f"{MIN_MAXLESS_CURVATURE} for metric='poincare': their maxless "
+            f"softmax relies on the score lower bound -12.21/sqrt(c) staying "
+            f"above fp32 exp underflow (got c={curvature}). Use the dense "
+            f"route (fused=False / attn_impl='dense') for smaller curvature.")
+
 _LANE = 128
 _SUBLANE = 8
 _PRECISION = jax.lax.Precision.HIGHEST
@@ -807,10 +827,12 @@ def flash_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ``fused_geodesic_attention`` or the jnp path.
 
     ``metric``: "oblique" (-acos) or "poincare" (Möbius geodesic distance at
-    ``curvature``; q/k must already be ball points — see
-    ``fused_geodesic_attention``).
+    ``curvature`` ≥ MIN_MAXLESS_CURVATURE — the maxless streaming softmax
+    needs the static score bound above exp underflow; smaller c raises).
+    q/k must already be ball points — see ``fused_geodesic_attention``.
 
     q: [..., L, Dh], k/v: [..., S, Dh]; fp32."""
+    _check_maxless_bounds(metric, curvature)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     *lead, L, Dh = q.shape
@@ -840,12 +862,20 @@ def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     negated Möbius geodesic distance at ``curvature`` — q/k must then ALREADY
     be ball points (apply ``pmath.project(pmath.expmap0(x))`` first; keeping
     that map outside the kernel leaves its autodiff to XLA).
+    ``curvature`` must be ≥ MIN_MAXLESS_CURVATURE (maxless-softmax bound;
+    smaller c raises — use the dense route).
 
     q: [..., L, Dh], k/v: [..., S, Dh], mask additive [..., L, S] or None.
+    MASK CONTRACT: the mask is a non-positive additive bias — the validity
+    form {0, -inf/-1e30} or finite penalties ≤ 0. The in-kernel softmax is
+    maxless (scores are clamp-bounded ≤ 0), so a POSITIVE bias could overflow
+    exp; positive mask values are therefore clamped to 0 here (gradient 0
+    through the clamp), loudly documented rather than silently wrong.
     Leading dims are flattened into the kernel grid's batch axis. fp32 only.
     ``interpret`` defaults to True off-TPU so the same code path runs (slowly,
     exactly) on the CPU test mesh.
     """
+    _check_maxless_bounds(metric, curvature)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     *lead, L, Dh = q.shape
@@ -857,6 +887,7 @@ def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     k3 = k.reshape(B, S, Dh).astype(jnp.float32)
     v3 = v.reshape(B, S, Dh).astype(jnp.float32)
     m3 = None if mask is None else \
-        jnp.broadcast_to(mask, (*lead, L, S)).reshape(B, L, S)
+        jnp.minimum(jnp.broadcast_to(mask, (*lead, L, S)).reshape(B, L, S),
+                    0.0)   # mask contract: non-positive bias (see docstring)
     out = _fused_core(q3, k3, v3, m3, interpret, metric, float(curvature))
     return out.reshape(*lead, L, Dh)

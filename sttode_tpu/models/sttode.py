@@ -589,7 +589,16 @@ class ForwardOutput(NamedTuple):
     pred_traj: jnp.ndarray      # [M, T_f, 2] posterior reconstruction decode
     diverse_pred: jnp.ndarray   # [M, K, T_f, 2] prior samples (values only —
                                 # carries stop_gradient under
-                                # cfg.diverse_grad="sparse")
+                                # cfg.diverse_grad="sparse"). Under
+                                # select_impl="fused" (or "auto" routed to
+                                # the Pallas kernel) the K trajectories never
+                                # leave the kernel — only their [M, K]
+                                # distances do — so this field is filled with
+                                # NaN to make accidental consumption loud;
+                                # use select_impl="xla" when the trajectories
+                                # themselves are needed. All-zeros when
+                                # "diverse" is not in cfg.loss_terms (no
+                                # K-decode runs at all).
 
 
 def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
@@ -670,8 +679,10 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
                 batch.past,
                 (batch.future - batch.cur_location).reshape(M, -1),
                 mode="dist", dtype=sel_dt, mesh=mesh, dp=dp)       # [M, K]
-            diverse = jnp.zeros((M, K, cfg.future_length, 2),
-                                batch.future.dtype)
+            # trajectories never leave the kernel: NaN-fill so a consumer
+            # reading diverse_pred fails loudly (see ForwardOutput docstring)
+            diverse = jnp.full((M, K, cfg.future_length, 2), jnp.nan,
+                               batch.future.dtype)
         elif cfg.select_dtype == "bfloat16":
             # the K-decode below exists ONLY to pick the argmin winner (its
             # values feed dist → argmin; the winner is recomputed in fp32),

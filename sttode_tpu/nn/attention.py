@@ -136,7 +136,7 @@ def _kv_valid_mask(kv_valid, q):
 
 def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
                   need_weights: bool, fused: str | bool,
-                  metric: str) -> str | None:
+                  metric: str, curvature: float = 1.0) -> str | None:
     """Pick the Pallas execution path, or None for jnp/XLA fusion.
 
     - "packed" (head-packed small-shape kernel) at the model's own hot
@@ -164,6 +164,13 @@ def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
         return None
     if jax.default_backend() != "tpu":
         return None
+    if metric == "poincare":
+        from sttode_tpu.kernels.mhgsa import MIN_MAXLESS_CURVATURE
+        if curvature < MIN_MAXLESS_CURVATURE:
+            # the Pallas kernels' maxless softmax would underflow at this
+            # score bound (-12.21/√c < exp's fp32 floor); dense keeps the
+            # max-subtracted softmax
+            return None
     L, S = q.shape[-2], k.shape[-2]
     if L * S < 256 * 256:
         # packed's measured win region is the SMALLEST shapes, where XLA's
@@ -296,7 +303,7 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         mask = _kv_valid_mask(kv_valid, q)
         kv_valid = None
     route = _kernel_route(q, k, mask, kv_valid, dropout_active, need_weights,
-                          fused, metric)
+                          fused, metric, curvature)
     if route is not None:
         from sttode_tpu.kernels.mhgsa import (flash_geodesic_attention,
                                               fused_geodesic_attention)

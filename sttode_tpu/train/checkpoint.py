@@ -85,8 +85,16 @@ def prune_checkpoints(ckpt_dir: str, keep_last: int) -> list[str]:
     on commit, so it is never a candidate. A ``model_%04d`` directory whose
     ``config.json`` sidecar never landed (crash between orbax commit and
     sidecar write) is an orphan: unloadable, never listed as committed — it
-    is swept here too, unless its sidecar write is still pending."""
+    is swept here too, unless its sidecar write is still pending IN THIS
+    process, or the directory is younger than a grace window. The grace
+    window covers the cross-process race the process-local
+    ``_pending_sidecars`` set cannot: a second process saving async
+    checkpoints into the same directory could have just committed a dir
+    whose sidecar write is milliseconds away — a freshly-mtimed dir is
+    therefore never treated as an orphan. A dir older than the window with
+    no sidecar really is crash debris."""
     import shutil
+    import time
 
     abs_dir = os.path.abspath(ckpt_dir)
     pending = {p for p, _, _ in _pending_sidecars}
@@ -96,12 +104,20 @@ def prune_checkpoints(ckpt_dir: str, keep_last: int) -> list[str]:
         p = os.path.join(abs_dir, CKPT_FMT.format(e))
         shutil.rmtree(p, ignore_errors=True)
         removed.append(p)
+    ORPHAN_GRACE_S = 900.0   # cross-process commit→sidecar gap is ms-scale;
+                             # 15 min is orders of magnitude of margin
+    now = time.time()
     if os.path.isdir(ckpt_dir):
         for d in os.listdir(ckpt_dir):
             p = os.path.join(abs_dir, d)
             if (d.startswith("model_") and d[6:].isdigit()
                     and p not in pending
                     and not os.path.exists(os.path.join(p, "config.json"))):
+                try:
+                    if now - os.path.getmtime(p) < ORPHAN_GRACE_S:
+                        continue
+                except OSError:
+                    continue   # vanished mid-scan (another process owns it)
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
     return removed

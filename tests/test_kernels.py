@@ -423,3 +423,45 @@ class TestPoincareFlashKernel:
         for a, b, name in zip(gf, gr, "qkv"):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, err_msg=f"d{name}")
+
+
+class TestMaxlessSoftmaxContract:
+    """The kernels' maxless softmax is valid only within its documented
+    bounds (ADVICE r3): masks must be non-positive additive biases, and the
+    poincaré score lower bound -12.21/√c must stay above fp32 exp underflow.
+    Violations are clamped (mask) or rejected loudly (curvature)."""
+
+    def test_positive_mask_clamped_to_zero(self, rng):
+        q = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+        # a huge positive bias would overflow exp() in the maxless kernel;
+        # the contract clamps it to 0, i.e. the zero-mask program
+        hot = jnp.full((2, 8, 8), 500.0)
+        out_hot = fused_geodesic_attention(q, k, v, mask=hot, interpret=True)
+        out_zero = fused_geodesic_attention(q, k, v, interpret=True)
+        assert bool(jnp.all(jnp.isfinite(out_hot)))
+        np.testing.assert_allclose(np.asarray(out_hot), np.asarray(out_zero),
+                                   atol=1e-6)
+
+    def test_tiny_curvature_rejected(self, rng):
+        import pytest
+        q = jnp.asarray(rng.standard_normal((1, 8, 8)), jnp.float32)
+        with pytest.raises(ValueError, match="curvature"):
+            fused_geodesic_attention(q, q, q, metric="poincare",
+                                     curvature=0.005, interpret=True)
+        with pytest.raises(ValueError, match="curvature"):
+            flash_geodesic_attention(q, q, q, metric="poincare",
+                                     curvature=0.005, interpret=True)
+
+    def test_auto_route_dense_at_tiny_curvature(self, monkeypatch):
+        """_kernel_route must not pick a maxless Pallas kernel when the
+        poincaré bound can underflow — dense keeps max-subtraction."""
+        from sttode_tpu.nn.attention import _kernel_route
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        q = jnp.zeros((1, 512, 64))
+        k = jnp.zeros((1, 512, 64))
+        assert _kernel_route(q, k, None, None, False, False, "auto",
+                             "poincare", curvature=1.0) == "fused"
+        assert _kernel_route(q, k, None, None, False, False, "auto",
+                             "poincare", curvature=0.005) is None

@@ -178,7 +178,9 @@ class TestSelectDecodeKernel:
         assert max(jax.tree.leaves(deltas)) < 1e-4
 
         out_f = sttode_forward(params, cfg_f, batch, key)
-        assert float(jnp.abs(out_f.diverse_pred).max()) == 0.0
+        # trajectories never leave the kernel; the field is NaN-filled so
+        # accidental consumption is loud (ForwardOutput docstring)
+        assert bool(jnp.all(jnp.isnan(out_f.diverse_pred)))
 
     def test_fused_requires_sparse(self):
         with pytest.raises(AssertionError, match="fused"):

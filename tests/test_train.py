@@ -1,6 +1,8 @@
 """L6 + parallel tests: compiled train steps, schedulers, checkpointing, and
 multi-device DP/TP on the 8-device virtual CPU mesh (SURVEY.md §4(f))."""
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -414,7 +416,9 @@ class TestCheckpointAsyncAndRetention:
     def test_prune_sweeps_sidecarless_orphans(self, rng, tmp_path):
         """A model_%04d dir with no config.json (crash between commit and
         sidecar write) is unloadable; prune removes it so it cannot leak
-        disk forever."""
+        disk forever — but only once it is OLDER than the cross-process
+        grace window (a fresh dir could be another process's just-committed
+        checkpoint whose sidecar write is in flight)."""
         from sttode_tpu.train import checkpoint_epochs
         from sttode_tpu.train.checkpoint import prune_checkpoints
         import os
@@ -425,6 +429,14 @@ class TestCheckpointAsyncAndRetention:
         opt_state = opt.init(params)
         save_checkpoint(str(tmp_path), 1, params, opt_state, cfg)
         os.makedirs(tmp_path / "model_0002")   # orphan
+        # fresh orphan: protected by the grace window (could be another
+        # process's sidecar-pending commit)
+        removed = prune_checkpoints(str(tmp_path), keep_last=5)
+        assert not any(p.endswith("model_0002") for p in removed)
+        assert os.path.isdir(tmp_path / "model_0002")
+        # backdate past the window: now it is crash debris and is swept
+        old = time.time() - 3600
+        os.utime(tmp_path / "model_0002", (old, old))
         removed = prune_checkpoints(str(tmp_path), keep_last=5)
         assert any(p.endswith("model_0002") for p in removed)
         assert not os.path.isdir(tmp_path / "model_0002")
