@@ -1,0 +1,134 @@
+"""dopri5 cost accounting (round-3 VERDICT item 6).
+
+BENCHMARKS.md's dopri5 row is ~968 ms/solve at torchdiffeq's default
+tolerances (rtol=1e-7, atol=1e-9) vs 36-47 ms loosened. This script settles
+WHY: it counts attempted/accepted RK45 steps and RHS evaluations at each
+tolerance (``odeint(..., return_stats=True)``, platform-independent numerics)
+and — on the TPU — divides measured solve time by the RHS count to get
+µs/RHS-eval, compared against the rk4 row's µs/RHS-eval. If dopri5's
+µs/RHS-eval ≈ rk4's, the 968 ms is (steps × RHS cost), i.e. TOLERANCE-BOUND;
+if it is much larger, while_loop/host overhead dominates and there is a perf
+lever to pull.
+
+Usage:  python scripts/dopri5_accounting.py            # TPU: counts + timing
+        JAX_PLATFORMS=cpu python scripts/dopri5_accounting.py --counts-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sttode_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
+import jax
+import jax.numpy as jnp
+
+from sttode_tpu.nn import LayerConfig, encoder_stack_init
+from sttode_tpu.nn.transformer import encoder_stack
+from sttode_tpu.ode import odeint
+
+
+TOLS = [(1e-7, 1e-9, "torchdiffeq default"),
+        (1e-5, 1e-7, "loosened"),
+        (1e-3, 1e-6, "loose")]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--counts-only", action="store_true",
+                    help="skip device timing (counts are platform-independent)")
+    args = ap.parse_args()
+
+    cfg = LayerConfig(d_model=64, num_heads=8, ff_dim=1024)
+    params = encoder_stack_init(jax.random.PRNGKey(0), cfg, 1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (32, 11, 1, 64)), jnp.float32)
+
+    def rhs(t, y, p):
+        del t
+        return encoder_stack(p, y, cfg)
+
+    ts = jnp.linspace(0.0, 12.0, 2)   # one output interval, the flagship grid
+
+    rows = []
+    for rtol, atol, label in TOLS:
+        fn = jax.jit(lambda x, p, rtol=rtol, atol=atol: odeint(
+            rhs, x, ts, p, method="dopri5", rtol=rtol, atol=atol,
+            return_stats=True))
+        ys, stats = fn(x, params)
+        att = int(stats["attempted_steps"])
+        acc = int(stats["accepted_steps"])
+        evals = int(stats["rhs_evals"])
+        per = None
+        if not args.counts_only:
+            # one ~long solve dwarfs tunnel noise; don't chain adaptive
+            # solves (the second integrates a smoother state — see
+            # bench_details.bench_ode)
+            _ = float(np.asarray(jax.device_get(jnp.ravel(ys[-1])[:1])))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ys2, _st = fn(x, params)
+                _ = float(np.asarray(jax.device_get(jnp.ravel(ys2[-1])[:1])))
+                best = min(best, time.perf_counter() - t0)
+            per = best
+        rows.append((label, rtol, atol, att, acc, evals, per))
+        msg = (f"dopri5 rtol={rtol:g} atol={atol:g} ({label}): "
+               f"{att} attempted / {acc} accepted steps, {evals} RHS evals")
+        if per is not None:
+            msg += f", {per*1e3:.1f} ms/solve = {per/evals*1e6:.0f} µs/RHS"
+        print(msg)
+
+    if not args.counts_only:
+        # rk4 comparison row: 8 fixed steps = 32 RHS evals, chained windows
+        steps = 8
+        loop = 40
+
+        @jax.jit
+        def rk4_loop(x, p):
+            def body(c, _):
+                z = odeint(rhs, c, jnp.linspace(0.0, 12.0, steps + 1), p,
+                           method="rk4")
+                return jax.tree_util.tree_map(lambda a: a[-1], z), None
+            return jax.lax.scan(body, x, None, length=loop)[0]
+
+        def timed(n):
+            @jax.jit
+            def run(x, p):
+                def body(c, _):
+                    z = odeint(rhs, c, jnp.linspace(0.0, 12.0, steps + 1), p,
+                               method="rk4")
+                    return jax.tree_util.tree_map(lambda a: a[-1], z), None
+                return jax.lax.scan(body, x, None, length=n)[0]
+            _ = float(np.asarray(jax.device_get(jnp.ravel(run(x, params))[:1])))
+            best = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                o = run(x, params)
+                _ = float(np.asarray(jax.device_get(jnp.ravel(o)[:1])))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, t2 = timed(loop), timed(2 * loop)
+        per_solve = max((t2 - t1) / loop, 1e-9)
+        evals = 4 * steps
+        print(f"rk4 steps={steps}: {evals} RHS evals, "
+              f"{per_solve*1e3:.2f} ms/solve = "
+              f"{per_solve/evals*1e6:.0f} µs/RHS")
+
+    sys.stdout.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -194,7 +194,8 @@ def _min_ade_fde(pred_k, target):
 
 
 def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
-                    obs_len=8, pred_len=12, batch_scenes=32):
+                    obs_len=8, pred_len=12, batch_scenes=32,
+                    result_key="convergence"):
     train_scenes = _make_fixture(n_train, n_agents, obs_len, pred_len, seed=2)
     eval_scenes = _make_fixture(n_eval, n_agents, obs_len, pred_len, seed=3)
     tr_past, tr_fut = _scenes_to_nba_arrays(train_scenes, obs_len, pred_len)
@@ -287,16 +288,189 @@ def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
                          "train_wall_s": round(ours_train_s, 1)},
     }
     print(json.dumps(result, indent=2))
-    return {"convergence": result}
+    return {result_key: result}
+
+
+# --------------------------------------------------------------------------- #
+# stage-2: full two-stage pipeline (train CVAE → freeze → train DLow sampler  #
+# → best-of-20 eval) through BOTH frameworks on one shared fixture            #
+# --------------------------------------------------------------------------- #
+
+def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
+               obs_len=5, pred_len=10, batch_scenes=32):
+    """Round-3 VERDICT item 3a: the reference's two-stage protocol
+    (trainsampler.py:124-161 NBA branch + test_sampler.py eval semantics,
+    samplerloss.compute_sampler_loss_nba) and ours
+    (train.make_sampler_train_step + models.sampler) on the same synthetic
+    fixture — trained-accuracy parity, not just elementwise forward parity.
+    The NBA batched protocol is the reference's default
+    (trainsampler.py:25 dataset='nba')."""
+    train_scenes = _make_fixture(n_train, n_agents, obs_len, pred_len, seed=2)
+    eval_scenes = _make_fixture(n_eval, n_agents, obs_len, pred_len, seed=3)
+    tr_past, tr_fut = _scenes_to_nba_arrays(train_scenes, obs_len, pred_len)
+    ev_past, ev_fut = _scenes_to_nba_arrays(eval_scenes, obs_len, pred_len)
+    n_batches = n_train // batch_scenes
+    M_eval = n_eval * n_agents
+    div_cfg = {"weight": 1.0, "scale": 1.0}   # NBA row, trainsampler.py:103-114
+    K = 20
+
+    # ---------------- reference: torch CPU, two stages ---------------- #
+    ref = load_reference()
+    args = _ref_args(past_length=obs_len, future_length=pred_len)
+    # stage-2 arg surface (trainsampler.py:31,59-62,90-91 defaults)
+    args.nz = 32
+    args.qnet_mlp = [512, 256]
+    args.share_eps = True
+    args.train_w_mean = True
+    args.kld_weight = 0.1
+    args.kld_min_clamp = 10.0
+    torch.manual_seed(0)
+    net = ref.sttode.STTODENet(args, torch.device("cpu"))
+    opt1 = torch.optim.Adam(net.parameters(), lr=1e-4)
+    net.train()
+    t0 = time.perf_counter()
+    for _ in range(epochs1):
+        for b in range(n_batches):
+            sl = slice(b * batch_scenes, (b + 1) * batch_scenes)
+            data = {"past_traj": torch.tensor(tr_past[sl]),
+                    "future_traj": torch.tensor(tr_fut[sl])}
+            net.set_data_nba(data)
+            total, *_ = net.forward()
+            opt1.zero_grad()
+            total.backward()
+            opt1.step()
+    # stage 2: optimize ONLY sampler params; grads flow through the frozen
+    # net's graph (trainsampler.py:281-282)
+    sampler = ref.sampler.Sampler(args)
+    opt2 = torch.optim.Adam(sampler.parameters(), lr=1e-4)
+    sampler.train()
+    for _ in range(epochs2):
+        for b in range(n_batches):
+            sl = slice(b * batch_scenes, (b + 1) * batch_scenes)
+            data = {"past_traj": torch.tensor(tr_past[sl]),
+                    "future_traj": torch.tensor(tr_fut[sl])}
+            net.set_data_nba(data)
+            dec_motion, sampler_dist, vae_dist, _ = sampler.forward(net)
+            # trainsampler.py:141-145 reshapes, applied FAITHFULLY: the
+            # sampler returns [M, K, T, 2], so the reference's
+            # permute(1,0,2,3)+reshape(-1,20,T,2) regroups the K-major flat
+            # order into mixed (sample, agent) groups of 20 — its NBA
+            # diversity loss runs on scrambled groupings (quirk; recorded in
+            # PARITY.md). Reproduced exactly for the A/B.
+            dec = dec_motion.permute(1, 0, 2, 3).reshape(-1, K, pred_len, 2)
+            fut = torch.tensor(
+                tr_fut[sl].reshape(-1, pred_len, 2))
+            total, _, _ = ref.samplerloss.compute_sampler_loss_nba(
+                args, fut, dec, 1, vae_dist, sampler_dist, div_cfg)
+            opt2.zero_grad()
+            total.backward()
+            opt2.step()
+    ref_train_s = time.perf_counter() - t0
+    net.eval()
+    preds = []
+    with torch.no_grad():
+        for b in range(n_eval // batch_scenes):
+            sl = slice(b * batch_scenes, (b + 1) * batch_scenes)
+            data = {"past_traj": torch.tensor(ev_past[sl]),
+                    "future_traj": torch.tensor(ev_fut[sl])}
+            net.set_data_nba(data)
+            dec_motion, *_ = sampler.forward(net)     # mean path, [M, K, T, 2]
+            preds.append(dec_motion.numpy())
+    ref_pred = np.concatenate(preds, axis=0)           # [M, K, T, 2]
+    ref_ade, ref_fde = _min_ade_fde(
+        np.moveaxis(ref_pred, 1, 0), ev_fut.reshape(M_eval, pred_len, 2))
+
+    # ---------------- ours: jax CPU, two stages ---------------- #
+    import optax
+
+    from sttode_tpu.models import STTODEConfig, sttode_init
+    from sttode_tpu.models.sampler import (SamplerConfig, sampler_forward,
+                                           sampler_init)
+    from sttode_tpu.train import make_sampler_train_step, make_train_step
+
+    cfg = STTODEConfig(past_length=obs_len, future_length=pred_len)
+    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    optx1 = optax.adam(1e-4)
+    opt_state = optx1.init(params)
+    step1 = make_train_step(cfg, optx1, donate=False)
+    key = jax.random.PRNGKey(1)
+    batches = [
+        _jax_batch(tr_past[b * batch_scenes:(b + 1) * batch_scenes],
+                   tr_fut[b * batch_scenes:(b + 1) * batch_scenes],
+                   batch_scenes, n_agents)
+        for b in range(n_batches)]
+    # compile both stages outside the timed window (one-time cost; the torch
+    # side has no compile step to exclude)
+    scfg = SamplerConfig(nk=K, div_weight=div_cfg["weight"],
+                         div_scale=div_cfg["scale"])
+    sp0 = sampler_init(jax.random.PRNGKey(7), scfg)
+    optx2 = optax.adam(1e-4)
+    step2 = make_sampler_train_step(cfg, scfg, optx2)
+    _p, _o, _m = step1(params, opt_state, batches[0], jax.random.PRNGKey(99))
+    _sp, _so, _sm = step2(sp0, _p, optx2.init(sp0), batches[0],
+                          jax.random.PRNGKey(98))
+    _ = float(np.asarray(_m["total"])), float(np.asarray(_sm["total"]))
+    del _p, _o, _sp, _so
+    t0 = time.perf_counter()
+    for _ in range(epochs1):
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            params, opt_state, m = step1(params, opt_state, batch, sub)
+    sampler_params = sampler_init(jax.random.PRNGKey(7), scfg)
+    opt_state2 = optx2.init(sampler_params)
+    for _ in range(epochs2):
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            sampler_params, opt_state2, m2 = step2(
+                sampler_params, params, opt_state2, batch, sub)
+    _ = float(np.asarray(m2["total"]))
+    ours_train_s = time.perf_counter() - t0
+    preds = []
+    for b in range(n_eval // batch_scenes):
+        sl = slice(b * batch_scenes, (b + 1) * batch_scenes)
+        eb = _jax_batch(ev_past[sl], ev_fut[sl], batch_scenes, n_agents)
+        key, sub = jax.random.split(key)
+        out = sampler_forward(sampler_params, params, scfg, cfg, eb, sub)
+        preds.append(np.asarray(out.dec_motion))       # [M, K, T, 2]
+    ours_pred = np.concatenate(preds, axis=0)
+    ours_ade, ours_fde = _min_ade_fde(
+        np.moveaxis(ours_pred, 1, 0), ev_fut.reshape(M_eval, pred_len, 2))
+
+    result = {
+        "fixture": {"n_train": n_train, "n_eval": n_eval,
+                    "n_agents": n_agents, "obs/pred": [obs_len, pred_len],
+                    "stage1_epochs": epochs1, "stage2_epochs": epochs2,
+                    "batch_scenes": batch_scenes,
+                    "protocol": "NBA batched two-stage: CVAE -> freeze -> "
+                                "DLow sampler (mean path) -> best-of-20",
+                    "generator": "data.synthetic.make_social_scene seeds 2/3"},
+        "reference_torch_cpu": {"min_ade": round(ref_ade, 4),
+                                "min_fde": round(ref_fde, 4),
+                                "train_wall_s": round(ref_train_s, 1)},
+        "ours_jax_cpu": {"min_ade": round(ours_ade, 4),
+                         "min_fde": round(ours_fde, 4),
+                         "train_wall_s": round(ours_train_s, 1)},
+    }
+    print(json.dumps(result, indent=2))
+    return {"stage2": result}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["timing", "convergence"])
+    ap.add_argument("mode", choices=["timing", "convergence",
+                                     "convergence_nba", "stage2"])
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--epochs2", type=int, default=10)
     args = ap.parse_args()
     if args.mode == "timing":
         update = run_timing()
+    elif args.mode == "convergence_nba":
+        # round-3 VERDICT item 3b: a true NBA-shaped fixture (11 agents,
+        # 5/10 horizons) through set_data_nba semantics end-to-end
+        update = run_convergence(epochs=args.epochs, n_agents=11, obs_len=5,
+                                 pred_len=10, result_key="convergence_nba")
+    elif args.mode == "stage2":
+        update = run_stage2(epochs1=args.epochs, epochs2=args.epochs2)
     else:
         update = run_convergence(epochs=args.epochs)
     existing = {}

@@ -47,7 +47,20 @@ def main(argv=None):
                              "(train.supervisor)")
     parser.add_argument("--profile_dir", default="",
                         help="capture a jax.profiler trace of epoch 0 here")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed for multi-host SPMD "
+                             "(coordinator from JAX_COORDINATOR_ADDRESS / "
+                             "cloud-TPU autodetect; parallel.init_distributed)"
+                        )
     args = parser.parse_args(argv)
+    if args.distributed:
+        # must run before first device use so every host joins the same
+        # runtime; exercised by tests/test_multihost.py
+        from sttode_tpu.parallel.mesh import init_distributed
+        if init_distributed():
+            print(f"distributed: process {jax.process_index()} of "
+                  f"{jax.process_count()}, {jax.local_device_count()} local "
+                  f"/ {jax.device_count()} global devices")
     nprng = common.seed_everything(args.seed)
     cfg = common.model_config(args)
 

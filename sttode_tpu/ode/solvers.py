@@ -184,20 +184,21 @@ def _initial_step(func, t0, y0, f0, direction, rtol, atol, args):
 
 def _dopri5_interval(func, y0, k1_0, t0, t1, rtol, atol, args, max_steps):
     """Adaptively integrate one output interval [t0, t1]. Supports either time
-    direction. Returns (y(t1), k1 at t1 for FSAL reuse)."""
+    direction. Returns (y(t1), k1 at t1 for FSAL reuse, (attempted, accepted)
+    step counters — the accounting behind BENCHMARKS.md's dopri5 row)."""
     direction = jnp.sign(t1 - t0)
     span = jnp.abs(t1 - t0)
     h0 = jnp.minimum(
         _initial_step(func, t0, y0, k1_0, direction, rtol, atol, args), span)
 
     def cond(state):
-        t, _, _, h, n = state
+        t, _, _, h, n, _ = state
         # 1e-6 relative keeps the loop terminating under float32 time arithmetic
         return jnp.logical_and(jnp.abs(t1 - t) > 1e-6 * jnp.maximum(
             jnp.abs(t1), 1.0), n < max_steps)
 
     def body(state):
-        t, y, k1, h, n = state
+        t, y, k1, h, n, n_acc = state
         h_clip = jnp.minimum(h, jnp.abs(t1 - t)) * direction
         y_new, err, k7 = _dopri5_single_step(func, t, h_clip, y, k1, args)
         ratio = _error_ratio(err, y, y_new, rtol, atol)
@@ -211,28 +212,41 @@ def _dopri5_interval(func, y0, k1_0, t0, t1, rtol, atol, args, max_steps):
             lambda a, b: jnp.where(accept, b, a), y, y_new)
         k1_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), k1, k7)
-        return (t_next, y_next, k1_next, h_next, n + 1)
+        return (t_next, y_next, k1_next, h_next, n + 1,
+                n_acc + accept.astype(jnp.int32))
 
-    state0 = (t0, y0, k1_0, h0, jnp.asarray(0, jnp.int32))
-    _, y_final, k1_final, _, _ = jax.lax.while_loop(cond, body, state0)
-    return y_final, k1_final
+    state0 = (t0, y0, k1_0, h0, jnp.asarray(0, jnp.int32),
+              jnp.asarray(0, jnp.int32))
+    _, y_final, k1_final, _, n, n_acc = jax.lax.while_loop(cond, body, state0)
+    return y_final, k1_final, (n, n_acc)
 
 
-def _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps):
+def _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
+                   return_stats=False):
     k1_init = func(ts[0], y0, *args)
 
     def seg(carry, t_pair):
         y, k1 = carry
         t0, t1 = t_pair
-        y1, k1_out = _dopri5_interval(func, y, k1, t0, t1, rtol, atol, args,
-                                      max_steps)
-        return (y1, k1_out), y1
+        y1, k1_out, stats = _dopri5_interval(func, y, k1, t0, t1, rtol, atol,
+                                             args, max_steps)
+        return (y1, k1_out), (y1, stats)
 
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
-    _, ys_tail = jax.lax.scan(seg, (y0, k1_init), t_pairs)
+    _, (ys_tail, (n_att, n_acc)) = jax.lax.scan(seg, (y0, k1_init), t_pairs)
     y0_expanded = jax.tree_util.tree_map(lambda x: x[None], y0)
-    return jax.tree_util.tree_map(
+    ys = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a, b], axis=0), y0_expanded, ys_tail)
+    if not return_stats:
+        return ys
+    # RHS-eval count: 1 initial k1, and per interval 1 extra probe eval in
+    # _initial_step + 6 evals per attempted RK45 step (FSAL reuses k7 as the
+    # next k1 only on accept, but the stage loop always evaluates stages 2-7)
+    n_intervals = ts.shape[0] - 1
+    stats = {"attempted_steps": jnp.sum(n_att),
+             "accepted_steps": jnp.sum(n_acc),
+             "rhs_evals": 1 + n_intervals + 6 * jnp.sum(n_att)}
+    return ys, stats
 
 
 # --------------------------------------------------------------------------- #
@@ -241,19 +255,31 @@ def _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps):
 
 def odeint(func: Callable, y0: Pytree, ts, *args, method: str = "euler",
            rtol: float = 1e-7, atol: float = 1e-9, max_steps: int = 10_000,
-           checkpoint: bool = False) -> Pytree:
+           checkpoint: bool = False, return_stats: bool = False) -> Pytree:
     """Integrate ``dy/dt = func(t, y, *args)``, reporting y at each ``ts``.
 
     Fixed-grid methods (euler/midpoint/rk4) use ``ts`` itself as the step grid
     (torchdiffeq semantics — reference quirk Q1). ``dopri5`` adapts within each
     output interval. Gradients flow by direct autodiff through the solver
     (discrete adjoint); see :func:`odeint_adjoint` for the continuous adjoint.
+
+    ``return_stats=True`` returns ``(ys, stats)`` with solver-work counters
+    (device int32 scalars, jit-safe): attempted/accepted adaptive steps and
+    total RHS evaluations. For fixed-grid methods the counts are static.
     """
     ts = jnp.asarray(ts)
     if method in _FIXED_METHODS:
-        return _fixed_odeint(func, y0, ts, args, method, checkpoint)
+        ys = _fixed_odeint(func, y0, ts, args, method, checkpoint)
+        if not return_stats:
+            return ys
+        n = ts.shape[0] - 1
+        evals = {"euler": 1, "midpoint": 2, "rk4": 4}[method] * n
+        return ys, {"attempted_steps": jnp.asarray(n, jnp.int32),
+                    "accepted_steps": jnp.asarray(n, jnp.int32),
+                    "rhs_evals": jnp.asarray(evals, jnp.int32)}
     if method in _ADAPTIVE_METHODS:
-        return _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps)
+        return _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
+                              return_stats=return_stats)
     raise ValueError(
         f"unknown method {method!r}; expected one of "
         f"{_FIXED_METHODS + _ADAPTIVE_METHODS}")

@@ -57,23 +57,45 @@ def make_hybrid_mesh(ici_dp: int, tp: int = 1, dcn_dp: int = 1) -> Mesh:
     a single slice (this box)."""
     if dcn_dp > 1:
         from jax.experimental import mesh_utils
+        devices = jax.devices()
+        # granule = slice where the platform reports real slice indices
+        # (multi-slice TPU); otherwise granule = process (multi-host CPU/GPU,
+        # and the two-process smoke test tests/test_multihost.py)
+        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
         grid = mesh_utils.create_hybrid_device_mesh(
-            (ici_dp, tp), dcn_mesh_shape=(dcn_dp, 1))
+            (ici_dp, tp), dcn_mesh_shape=(dcn_dp, 1),
+            process_is_granule=n_slices != dcn_dp)
         grid = grid.reshape(dcn_dp * ici_dp, tp)
         return Mesh(grid, axis_names=("data", "model"))
     return make_mesh(dp=ici_dp, tp=tp)
 
 
 def init_distributed() -> bool:
-    """Initialize ``jax.distributed`` for multi-host SPMD when the coordinator
-    env is present (JAX_COORDINATOR_ADDRESS / cloud-TPU autodetect). Returns
-    True when running distributed. Safe no-op on a single host."""
+    """Initialize ``jax.distributed`` for multi-host SPMD. Returns True when
+    running distributed. Safe no-op on a single host.
+
+    Two entry modes (must run before first device use):
+    - explicit env: ``JAX_COORDINATOR_ADDRESS`` (+ ``JAX_NUM_PROCESSES``,
+      ``JAX_PROCESS_ID``) — the generic launcher contract, used by the
+      two-process CPU smoke test (tests/test_multihost.py) and any
+      orchestrator that sets the trio per worker;
+    - cloud autodetect: ``MEGASCALE_COORDINATOR_ADDRESS`` present (multi-slice
+      Cloud TPU) — ``jax.distributed.initialize()`` discovers everything.
+    """
     import os
 
     import jax as _jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        _jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None)
+        return _jax.process_count() > 1
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         _jax.distributed.initialize()
         return _jax.process_count() > 1
     return False

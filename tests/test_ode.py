@@ -178,3 +178,37 @@ class TestAdjoint:
         g_adj = jax.grad(loss_adj)(jnp.float32(1.0))
         g_dir = jax.grad(loss_dir)(jnp.float32(1.0))
         np.testing.assert_allclose(float(g_adj), float(g_dir), atol=1e-3)
+
+
+class TestSolverStats:
+    """odeint(return_stats=True) — the accounting behind BENCHMARKS.md's
+    dopri5 row (round-3 VERDICT item 6): jit-safe counters of attempted/
+    accepted adaptive steps and RHS evaluations."""
+
+    def test_dopri5_counts_scale_with_tolerance(self):
+        f = lambda t, y: -y
+        ts = jnp.array([0.0, 5.0])
+        ys_t, st_t = jax.jit(lambda y: odeint(
+            f, y, ts, method="dopri5", rtol=1e-7, atol=1e-9,
+            return_stats=True))(jnp.ones(()))
+        ys_l, st_l = jax.jit(lambda y: odeint(
+            f, y, ts, method="dopri5", rtol=1e-3, atol=1e-6,
+            return_stats=True))(jnp.ones(()))
+        att_t, att_l = int(st_t["attempted_steps"]), int(st_l["attempted_steps"])
+        assert att_t > att_l >= 1
+        assert int(st_t["accepted_steps"]) <= att_t
+        # 1 initial k1 + 1 starting-step probe per interval + 6 per attempt
+        assert int(st_t["rhs_evals"]) == 2 + 6 * att_t
+        # stats path returns the same solution as the plain path
+        ys_plain = odeint(f, jnp.ones(()), ts, method="dopri5",
+                          rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ys_t), np.asarray(ys_plain),
+                                   rtol=1e-7)
+        np.testing.assert_allclose(float(ys_t[-1]), np.exp(-5.0), atol=1e-6)
+
+    def test_fixed_grid_counts_are_static(self):
+        f = lambda t, y: -y
+        _, st = odeint(f, jnp.ones(()), jnp.linspace(0.0, 5.0, 9),
+                       method="rk4", return_stats=True)
+        assert int(st["rhs_evals"]) == 4 * 8
+        assert int(st["accepted_steps"]) == 8
