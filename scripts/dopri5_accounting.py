@@ -31,6 +31,12 @@ from sttode_tpu.utils.compilation_cache import enable as _enable_cache
 _enable_cache()
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # this box's sitecustomize registers the axon TPU platform at interpreter
+    # start; the env var alone does not pin the backend — the config API does
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 from sttode_tpu.nn import LayerConfig, encoder_stack_init
@@ -60,34 +66,82 @@ def main():
 
     ts = jnp.linspace(0.0, 12.0, 2)   # one output interval, the flagship grid
 
+    # step needs measured on CPU (counts are platform-independent): 71 at
+    # defaults, 16 at 1e-5/1e-7, 7 at 1e-3/1e-6 — budgets sized above each
+    budgets = {1e-7: 96, 1e-5: 24, 1e-3: 12}
+
     rows = []
     for rtol, atol, label in TOLS:
-        fn = jax.jit(lambda x, p, rtol=rtol, atol=atol: odeint(
-            rhs, x, ts, p, method="dopri5", rtol=rtol, atol=atol,
-            return_stats=True))
-        ys, stats = fn(x, params)
-        att = int(stats["attempted_steps"])
-        acc = int(stats["accepted_steps"])
-        evals = int(stats["rhs_evals"])
-        per = None
-        if not args.counts_only:
-            # one ~long solve dwarfs tunnel noise; don't chain adaptive
-            # solves (the second integrates a smoother state — see
-            # bench_details.bench_ode)
-            _ = float(np.asarray(jax.device_get(jnp.ravel(ys[-1])[:1])))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                ys2, _st = fn(x, params)
-                _ = float(np.asarray(jax.device_get(jnp.ravel(ys2[-1])[:1])))
-                best = min(best, time.perf_counter() - t0)
-            per = best
-        rows.append((label, rtol, atol, att, acc, evals, per))
-        msg = (f"dopri5 rtol={rtol:g} atol={atol:g} ({label}): "
-               f"{att} attempted / {acc} accepted steps, {evals} RHS evals")
-        if per is not None:
-            msg += f", {per*1e3:.1f} ms/solve = {per/evals*1e6:.0f} µs/RHS"
-        print(msg)
+        for form in ("while", "scan"):
+            budget = budgets[rtol] if form == "scan" else None
+            fn = jax.jit(lambda x, p, rtol=rtol, atol=atol, budget=budget:
+                         odeint(rhs, x, ts, p, method="dopri5", rtol=rtol,
+                                atol=atol, scan_budget=budget,
+                                return_stats=True))
+            ys, stats = fn(x, params)
+            att = int(stats["attempted_steps"])
+            acc = int(stats["accepted_steps"])
+            evals = int(stats["rhs_evals"])
+            assert not bool(stats.get("budget_exhausted", False)), \
+                f"budget {budget} exhausted at rtol={rtol}"
+            per = None
+            if not args.counts_only and form == "while":
+                # one ~long solve dwarfs tunnel noise; do NOT chain while-form
+                # adaptive solves (the second integrates a smoother state and
+                # takes fewer steps, halving the apparent cost)
+                _ = float(np.asarray(jax.device_get(jnp.ravel(ys[-1])[:1])))
+                best = float("inf")
+                for _i in range(3):
+                    t0 = time.perf_counter()
+                    ys2, _st = fn(x, params)
+                    _ = float(np.asarray(jax.device_get(
+                        jnp.ravel(ys2[-1])[:1])))
+                    best = min(best, time.perf_counter() - t0)
+                per = best
+            elif not args.counts_only:
+                # scan form: cost is BUDGET-determined (always budget × 6
+                # evals of device work, whatever the state), so chaining is
+                # distortion-free and needed — a ~10 ms solve is invisible
+                # under the ~35 ms tunnel constant without window differencing
+                def make(n, budget=budget, rtol=rtol, atol=atol):
+                    @jax.jit
+                    def run(x, p):
+                        def body(c, _):
+                            z = odeint(rhs, c, ts, p, method="dopri5",
+                                       rtol=rtol, atol=atol,
+                                       scan_budget=budget)
+                            return jax.tree_util.tree_map(
+                                lambda a: a[-1], z), None
+                        return jax.lax.scan(body, x, None, length=n)[0]
+
+                    def thunk():
+                        o = run(x, params)
+                        _ = float(np.asarray(jax.device_get(
+                            jnp.ravel(o)[:1])))
+                        return o
+                    return thunk
+
+                def best_of(thunk, reps=3):
+                    thunk()
+                    b = float("inf")
+                    for _i in range(reps):
+                        t0 = time.perf_counter()
+                        thunk()
+                        b = min(b, time.perf_counter() - t0)
+                    return b
+
+                loop = 8
+                t1_, t2_ = best_of(make(loop)), best_of(make(2 * loop))
+                per = max((t2_ - t1_) / loop, 1e-9)
+            msg = (f"dopri5[{form}{'' if budget is None else f'={budget}'}] "
+                   f"rtol={rtol:g} atol={atol:g} ({label}): "
+                   f"{att} attempted / {acc} accepted steps, "
+                   f"{evals} RHS evals")
+            if per is not None:
+                msg += (f", {per*1e3:.1f} ms/solve = "
+                        f"{per/evals*1e6:.0f} µs/RHS")
+            print(msg, flush=True)
+            rows.append((label, form, rtol, atol, att, acc, evals, per))
 
     if not args.counts_only:
         # rk4 comparison row: 8 fixed steps = 32 RHS evals, chained windows

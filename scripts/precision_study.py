@@ -63,6 +63,41 @@ def time_chained(fn, args, iters):
     return (window(2 * iters) - window(iters)) / iters
 
 
+def dot_variants(orig_dot):
+    """Manual split-precision Gram variants (Mosaic lowers only DEFAULT and
+    HIGHEST, so HIGH-class 3-pass forms must be written by hand)."""
+
+    def split(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def d(x, y, dims):
+        return jax.lax.dot_general(
+            x, y, (dims, ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    def dot_bf16x3(a, b, dims):
+        """3-pass f32-from-bf16 (drops lo·lo): the compensated form — the
+        smallest split that keeps BOTH first-order error terms."""
+        a_hi, a_lo = split(a)
+        b_hi, b_lo = split(b)
+        return d(a_hi, b_hi, dims) + d(a_hi, b_lo, dims) + d(a_lo, b_hi, dims)
+
+    def dot_bf16x2(a, b, dims):
+        """2-pass (round-3 VERDICT item 4's literal construction): keeps only
+        hi·hi + hi·lo, i.e. drops the symmetric lo·hi term — its |lo_a|·|hi_b|
+        ≈ 2^-9 relative error is EXPECTED to land at DEFAULT-class 1e-3,
+        outside the acos budget; measured here to close the question with a
+        number rather than an argument."""
+        a_hi, a_lo = split(a)
+        b_hi, b_lo = split(b)
+        del a_lo
+        return d(a_hi, b_hi, dims) + d(a_hi, b_lo, dims)
+
+    return {"BF16x3": dot_bf16x3, "BF16x2": dot_bf16x2}
+
+
 def main():
     shapes = [(64, 512, 64), (16, 1024, 64)]
     rng = np.random.default_rng(0)
@@ -99,9 +134,10 @@ def main():
                 return dot_bf16x3(a, b, dims)
             return orig_dot(a, b, dims)
 
-        for prec in ("HIGHEST", "BF16x3", "GRAM3", "DEFAULT"):
-            if prec == "BF16x3":
-                mhgsa._dot = dot_bf16x3
+        variants = dot_variants(orig_dot)
+        for prec in ("HIGHEST", "BF16x3", "BF16x2", "GRAM3", "DEFAULT"):
+            if prec in variants:
+                mhgsa._dot = variants[prec]
                 mhgsa._PRECISION = jax.lax.Precision.DEFAULT
             elif prec == "GRAM3":
                 mhgsa._dot = dot_gram3
@@ -122,6 +158,38 @@ def main():
             print(f"B{B} L{L} Dh{Dh} {prec:8s}  rel_err={err:.2e}  "
                   f"{dt*1e6:8.1f} us  {tfs:6.2f} TF/s", flush=True)
         mhgsa._dot = orig_dot
+    mhgsa._PRECISION = jax.lax.Precision.HIGHEST
+
+    # --- 4096² flash-kernel cell (round-3 VERDICT item 4: the missing shape;
+    # the flash kernels route every matmul through the same module _dot) ----
+    B, L, Dh = 8, 4096, 64
+    q = jnp.asarray(rng.standard_normal((B, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, Dh)), jnp.float32)
+    ref2 = oracle_fp64(q[:2], k[:2], v[:2])    # fp64 oracle on a 2-row slice
+    scale = np.abs(ref2).max()
+    flops = 2 * B * L * L * (2 * Dh + 1)
+    variants = dot_variants(orig_dot)
+    for prec in ("HIGHEST", "BF16x3", "BF16x2"):
+        if prec in variants:
+            mhgsa._dot = variants[prec]
+            mhgsa._PRECISION = jax.lax.Precision.DEFAULT
+        else:
+            mhgsa._dot = orig_dot
+            mhgsa._PRECISION = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def runf(q, k, v):
+            return mhgsa.flash_geodesic_attention(q, k, v)
+
+        out = np.asarray(runf(q, k, v))
+        err = np.abs(out[:2] - ref2).max() / scale
+        dt = time_chained(lambda q, k, v: runf(q, k, v), (q, k, v), 4)
+        tfs = flops / dt / 1e12
+        results.append((B, L, Dh, "flash-" + prec, err, dt * 1e6, tfs))
+        print(f"B{B} L{L} Dh{Dh} flash-{prec:8s}  rel_err={err:.2e}  "
+              f"{dt*1e6:8.1f} us  {tfs:6.2f} TF/s", flush=True)
+    mhgsa._dot = orig_dot
     mhgsa._PRECISION = jax.lax.Precision.HIGHEST
     return results
 

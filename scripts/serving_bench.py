@@ -51,24 +51,29 @@ def main():
          STTODEConfig(compat="tpu", attn_axis="agent").validate()),
     ):
         params = sttode_init(jax.random.PRNGKey(0), cfg)
-        pred = Predictor(params, cfg, max_group=64)
-        print(f"-- {label} --", flush=True)
-        for n in [int(x) for x in args.scenes.split(",")]:
-            group = obs[:n]
-            pred.predict_many(group)      # warm the bucket (compile)
-            lat = []
-            t_burst0 = time.perf_counter()
-            for _ in range(args.calls):
-                t0 = time.perf_counter()
-                pred.predict_many(group)
-                lat.append((time.perf_counter() - t0) * 1e3)
-            burst = time.perf_counter() - t_burst0
-            p50 = statistics.median(lat)
-            p95 = sorted(lat)[max(0, int(0.95 * len(lat)) - 1)]
-            thr = n * args.calls / burst
-            print(f"scenes/call={n:3d}  p50={p50:7.2f} ms  p95={p95:7.2f} ms"
-                  f"  sustained={thr:8.1f} scenes/s  (K={pred.sample_k}, "
-                  f"N={args.agents})", flush=True)
+        # pipeline A/B (round-3 VERDICT item 7): depth 1 = serial
+        # dispatch→fetch per group; depth ≥2 overlaps group i's D2H fetch
+        # with group i+1's dispatch. Only multi-group calls can pipeline —
+        # the scene-axis mode (1 scene per dispatch) is where it bites.
+        for depth in (1, 2, 4):
+            pred = Predictor(params, cfg, max_group=64, pipeline_depth=depth)
+            print(f"-- {label}, pipeline_depth={depth} --", flush=True)
+            for n in [int(x) for x in args.scenes.split(",")]:
+                group = obs[:n]
+                pred.predict_many(group)      # warm the bucket (compile)
+                lat = []
+                t_burst0 = time.perf_counter()
+                for _ in range(args.calls):
+                    t0 = time.perf_counter()
+                    pred.predict_many(group)
+                    lat.append((time.perf_counter() - t0) * 1e3)
+                burst = time.perf_counter() - t_burst0
+                p50 = statistics.median(lat)
+                p95 = sorted(lat)[max(0, int(0.95 * len(lat)) - 1)]
+                thr = n * args.calls / burst
+                print(f"scenes/call={n:3d}  p50={p50:7.2f} ms  "
+                      f"p95={p95:7.2f} ms  sustained={thr:8.1f} scenes/s  "
+                      f"(K={pred.sample_k}, N={args.agents})", flush=True)
 
     os._exit(0)
 

@@ -62,6 +62,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ode_rtol", type=float, default=1e-7,
                    help="dopri5 relative tolerance (looser = fewer steps)")
     p.add_argument("--ode_atol", type=float, default=1e-9)
+    p.add_argument("--ode_scan_budget", type=int, default=0,
+                   help="dopri5 only: >0 runs the adaptive controller as a "
+                        "lax.scan over exactly this many RK45 attempts per "
+                        "interval (escapes while_loop per-iteration overhead; "
+                        "step needs at the flagship RHS: 71 at default "
+                        "tolerances, 16 at 1e-5/1e-7, 7 at 1e-3/1e-6). "
+                        "0 = while_loop")
     p.add_argument("--compute_dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="bfloat16 casts the decode-MLP matmul operands (the "
@@ -126,6 +133,7 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         ode_method=args.ode_method, ode_steps=args.ode_steps,
         ode_adjoint=args.ode_adjoint, ode_rtol=args.ode_rtol,
         ode_atol=args.ode_atol,
+        ode_scan_budget=getattr(args, "ode_scan_budget", 0),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         select_dtype=getattr(args, "select_dtype", "float32"),
         select_impl=getattr(args, "select_impl", "xla"),

@@ -58,6 +58,17 @@ class STTODEConfig(NamedTuple):
                                   # measured on v5e: 830 ms/solve at defaults,
                                   # 47 ms at 1e-5/1e-7 (solution Δ ~3e-3),
                                   # 36 ms at 1e-3/1e-6
+    ode_scan_budget: int = 0      # >0 runs dopri5 as a lax.scan over exactly
+                                  # this many RK45 attempts per interval
+                                  # (masked no-ops once converged) instead of
+                                  # a while_loop — same control law; pays
+                                  # budget-steps_needed wasted attempts to
+                                  # escape the while_loop's per-iteration
+                                  # overhead (measured ~110x the in-scan RHS
+                                  # cost — BENCHMARKS.md dopri5 accounting).
+                                  # Step needs at the flagship RHS: 71
+                                  # (default tolerances), 16 (1e-5/1e-7),
+                                  # 7 (1e-3/1e-6). 0 = while_loop.
     past_length: int = 8
     future_length: int = 12
     num_decompose: int = 2
@@ -346,6 +357,7 @@ def _encode_trunk(p: dict, cfg: STTODEConfig, inputs: jnp.ndarray,
                     method=cfg.ode_method, steps=cfg.ode_steps, mask=mask,
                     adjoint=cfg.ode_adjoint, rtol=cfg.ode_rtol,
                     atol=cfg.ode_atol, rng=k_ode,
+                    scan_budget=cfg.ode_scan_budget or None,
                     deterministic=not train, mesh=mesh, kv_valid=kv_valid)
     if cfg.attn_axis == "scene":
         z = z[:, :, 0]                                         # [B, N, D]

@@ -28,7 +28,8 @@ def ode_encoder(params: list, src: jnp.ndarray, cfg: LayerConfig, *,
                 deterministic: bool = True, adjoint: bool = False,
                 rtol: float = 1e-7, atol: float = 1e-9,
                 steps: int = 1, mesh=None,
-                kv_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                kv_valid: jnp.ndarray | None = None,
+                scan_budget: int | None = None) -> jnp.ndarray:
     """ODE-integrated encoder over [L, N, S, D] tokens, ReLU epilogue.
 
     ``steps`` controls the fixed-grid density: steps=1 with euler reproduces the
@@ -48,7 +49,8 @@ def ode_encoder(params: list, src: jnp.ndarray, cfg: LayerConfig, *,
 
     ts = jnp.linspace(0.0, time, steps + 1)
     integrate = odeint_adjoint if adjoint else odeint
-    z = integrate(rhs, src, ts, params, method=method, rtol=rtol, atol=atol)
+    z = integrate(rhs, src, ts, params, method=method, rtol=rtol, atol=atol,
+                  scan_budget=scan_budget)
     z_final = jax.tree_util.tree_map(lambda x: x[-1], z)
     return jax.nn.relu(z_final)
 

@@ -49,7 +49,8 @@ class Predictor:
     def __init__(self, params, cfg: STTODEConfig, *,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  sample_k: int | None = None, max_group: int = 16,
-                 sampler_params=None, sampler_cfg=None):
+                 sampler_params=None, sampler_cfg=None,
+                 pipeline_depth: int = 2):
         self.params = jax.device_put(params)
         self.cfg = cfg
         self.buckets = tuple(buckets)
@@ -73,6 +74,11 @@ class Predictor:
         self.sample_k = sample_k or cfg.sample_k
         self.max_group = max_group   # cap scenes per device call (compile
                                      # churn + HBM bound for request bursts)
+        # in-flight device dispatches kept un-fetched: the D2H fetch of group
+        # i overlaps the dispatch of groups i+1..i+depth-1, hiding the
+        # per-dispatch latency (tunnel/PCIe) behind device work. 1 = the
+        # serial dispatch→fetch→dispatch behavior.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._lock = threading.Lock()
         self._fn = self._infer_fn()  # eager: no double-compile race on first use
 
@@ -130,6 +136,11 @@ class Predictor:
         isolate = self.cfg.attn_axis != "agent"
         cap = 1 if isolate else self.max_group
         with self._lock:
+            # pipelined dispatch: keep up to pipeline_depth groups in flight
+            # and fetch in FIFO order — the host-blocking D2H of group i
+            # overlaps the device work of groups i+1.. (round-3 VERDICT
+            # item 7: one-dispatch-per-group serialized on its own fetch)
+            pending: list[tuple] = []
             for bucket, raw_idxs in sorted(by_bucket.items()):
                 for g0 in range(0, len(raw_idxs), cap):
                     idxs = raw_idxs[g0:g0 + cap]
@@ -141,12 +152,18 @@ class Predictor:
                         # crc32, not hash(): stable across processes
                         digest ^= zlib.crc32(arr.tobytes()) & 0x7FFFFFFF
                     key = jax.random.fold_in(base_key, digest)
-                    self._run_group(scenes, idxs, bucket, out, key)
+                    pending.append(self._launch_group(scenes, idxs, bucket,
+                                                      key))
+                    if len(pending) >= self.pipeline_depth:
+                        self._finish_group(pending.pop(0), out)
+            while pending:
+                self._finish_group(pending.pop(0), out)
         return out  # type: ignore[return-value]
 
-    def _run_group(self, scenes, idxs, bucket, out, key):
-        """One device call for the scenes in ``idxs`` (all ≤ bucket agents);
-        one vectorized numpy pass prepares the whole group."""
+    def _launch_group(self, scenes, idxs, bucket, key):
+        """Prepare + DISPATCH one group without fetching: returns the
+        in-flight device array plus the host context ``_finish_group`` needs.
+        One vectorized numpy pass prepares the whole group."""
         from sttode_tpu.data.preprocess import prepare_scene_group
 
         Tp, Tf = self.cfg.past_length, self.cfg.future_length
@@ -163,9 +180,23 @@ class Predictor:
         batch, origs = prepare_scene_group(obs, pred_zeros, valid,
                                            training=False)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
-        preds = np.asarray(self._fn(self.params, batch, key))
+        preds_dev = self._fn(self.params, batch, key)
+        try:
+            # start the D2H copy now so it overlaps the next dispatch; the
+            # np.asarray in _finish_group is then a completion wait
+            preds_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return preds_dev, idxs, bucket, ns, origs
+
+    def _finish_group(self, launched, out):
+        """Blocking fetch + per-scene unpad/origin re-add for one in-flight
+        group."""
+        preds_dev, idxs, bucket, ns, origs = launched
+        Tf = self.cfg.future_length
+        preds = np.asarray(preds_dev)
         K = preds.shape[0]
-        preds = preds.reshape(K, B, bucket, Tf, 2)
+        preds = preds.reshape(K, len(idxs), bucket, Tf, 2)
         for j, i in enumerate(idxs):
             out[i] = preds[:, j, :ns[j]] + origs[j][None, None, None]
 

@@ -42,8 +42,10 @@ class TestPredictor:
         key = jax.random.PRNGKey(3)
         out_a: list = [None]
         out_b: list = [None]
-        predictor._run_group([obs], [0], 8, out_a, key)
-        predictor._run_group([obs + shift], [0], 8, out_b, key)
+        predictor._finish_group(
+            predictor._launch_group([obs], [0], 8, key), out_a)
+        predictor._finish_group(
+            predictor._launch_group([obs + shift], [0], 8, key), out_b)
         np.testing.assert_allclose(out_b[0], out_a[0] + shift, atol=1e-3)
 
     def test_many_scenes_mixed_buckets(self, predictor, rng):
@@ -52,6 +54,20 @@ class TestPredictor:
         outs = predictor.predict_many(scenes, seed=0)
         for obs, out in zip(scenes, outs):
             assert out.shape == (4, len(obs), 12, 2)
+
+    def test_pipeline_depth_invariant(self, predictor, rng):
+        """Pipelined dispatch (depth>1 keeps groups in flight, fetches FIFO)
+        must be value-identical to the serial depth=1 path — it only
+        reorders host waits, never device programs or keys."""
+        scenes = [rng.standard_normal((n, 8, 2)).astype(np.float32)
+                  for n in (2, 7, 12, 3, 5, 9)]
+        cfgp = predictor.cfg
+        serial = Predictor(predictor.params, cfgp, pipeline_depth=1)
+        deep = Predictor(predictor.params, cfgp, pipeline_depth=3)
+        a = serial.predict_many(scenes, seed=2)
+        b = deep.predict_many(scenes, seed=2)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
 
     def test_bad_shape_raises(self, predictor, rng):
         with pytest.raises(ValueError, match="expected"):
