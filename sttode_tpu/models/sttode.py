@@ -427,12 +427,17 @@ def prior(params: dict, cfg: STTODEConfig,
 SELECT_GRU_HOIST_MAX_ROWS = 4096
 
 # select_impl="auto" routes the selection decode to the fused Pallas kernel
-# at and above this many rows: measured win ×1.038 at R=112,640 (B=512),
-# measured losses ×0.87-0.95 at R ≤ 56,320 (B ≤ 256) — the boundary lies in
-# between; set conservatively just under the measured win point. The same
-# threshold routes the INFERENCE decode to the kernel's traj mode, where the
-# win is larger (×2.72 at R=112,640: the XLA inference decode materializes
-# its [R, 512]-class intermediates with no bf16/unhoist mitigations).
+# at and above this many rows. Round-4 four-point step-level A/B (bf16
+# selection, 5 alternating rounds, medians — BENCHMARKS.md round-4 notes):
+# R=14,080 ×0.907, R=28,160 ×0.930, R=56,320 ×0.957, R=112,640 ×1.038 —
+# monotone in R, crossover between 56k and 113k; the threshold sits just
+# under the measured win point. Tile sweeps and isolated micros cannot
+# tighten it further (session drift up to 2.2× on the isolated XLA
+# subgraph; the interleaved step A/B is the decision-grade measurement).
+# The same threshold routes the INFERENCE decode to the kernel's traj mode,
+# where the win is larger (×2.72 at R=112,640: the XLA inference decode
+# materializes its [R, 512]-class intermediates with no bf16/unhoist
+# mitigations).
 SELECT_FUSED_MIN_ROWS = 100_000
 
 

@@ -113,11 +113,13 @@ class TestLargeUnalignedL:
 class TestMaskGradient:
     def test_mask_cotangent_matches_jnp(self, rng):
         """Regression: the fused VJP must produce the softmax-VJP mask
-        gradient, not zeros."""
+        gradient, not zeros. The public contract clamps masks to <= 0
+        (maxless softmax), so the parity check uses a non-positive mask."""
         q = jnp.asarray(rng.standard_normal((1, 6, 8)), jnp.float32)
         k = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
         v = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
-        m0 = jnp.asarray(rng.standard_normal((1, 6, 9)) * 0.1, jnp.float32)
+        m0 = -jnp.abs(jnp.asarray(rng.standard_normal((1, 6, 9)) * 0.1,
+                                  jnp.float32))
 
         def loss_fused(m):
             return jnp.sum(fused_geodesic_attention(
@@ -130,6 +132,22 @@ class TestMaskGradient:
         gr = jax.grad(loss_ref)(m0)
         assert float(jnp.abs(gr).max()) > 1e-3  # the oracle grad is nonzero
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5)
+
+    def test_positive_mask_clamped_with_zero_gradient(self, rng):
+        """Positive mask entries are clamped to 0 (documented {<=0} contract)
+        and carry zero cotangent through the clamp."""
+        q = jnp.asarray(rng.standard_normal((1, 4, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+        pos = jnp.full((1, 4, 5), 3.0, jnp.float32)
+
+        out = fused_geodesic_attention(q, k, v, mask=pos, interpret=True)
+        ref = ref_attention(q, k, v, mask=jnp.zeros_like(pos))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5)
+        g = jax.grad(lambda m: jnp.sum(fused_geodesic_attention(
+            q, k, v, mask=m, interpret=True) ** 2))(pos)
+        assert float(jnp.abs(g).max()) == 0.0
 
 
 class TestFlash:
