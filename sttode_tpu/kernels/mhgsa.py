@@ -99,11 +99,52 @@ def _dot(a, b, dims):
                                precision=_PRECISION)
 
 
-def _scores(qn, kn, s_real: int, col_offset: int = 0):
+# The FLASH kernels run their matmuls through a compensated 3-pass bf16
+# split instead of HIGHEST's 6 passes: hi·hi + hi·lo + lo·hi (only the
+# O(2^-16)-relative lo·lo term is dropped), each pass at DEFAULT precision.
+# Round-4 adoption measurement (scripts/flash_gram_ab.py, 4096²·B8, 5
+# alternating rounds): fwd ×1.211 / f+b ×1.199 vs HIGHEST, fwd error vs an
+# fp64 oracle 6.2e-6 (HIGHEST: 1.8e-6; both 16×+ inside the EPS=1e-4 acos
+# clamp granularity), grads within 1.2e-5 of HIGHEST. The fused/packed
+# kernels KEEP HIGHEST: they are VPU-epilogue-bound at their routed shapes
+# and the same swap measured a wash there (round-2 notes, 512²/1024²).
+# EXCEPTION — the poincaré SCORE-path Gram stays HIGHEST: its epilogue
+# subtracts 2g from x²+y² (catastrophic cancellation for nearby points)
+# and artanh's clamp bounds amplification only at 1/(2·ARTANH_EPS)=5e4
+# vs acos's ≈70. Measured on-chip at 1024²·B2 vs the XLA-HIGHEST oracle
+# (max-abs error / max|output|): shipped split 5.6e-4, score-Gram also
+# 3-pass 7.9e-4 — a ×1.4 error increase for one matmul's speedup, on a
+# path where the baseline error is already dominated by the kernel's
+# artanh/exp recompute, so the conservative route costs ~nothing.
+# Value/cotangent-side matmuls (p·V, dV, dP, dg·K propagation) are
+# plain linear maps and take the 3-pass route for both metrics.
+FLASH_GRAM_3PASS = True
+
+
+def _dot3(a, b, dims):
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _fdot(a, b, dims):
+    """Matmul implementation for the flash kernels (see FLASH_GRAM_3PASS)."""
+    return _dot3(a, b, dims) if FLASH_GRAM_3PASS else _dot(a, b, dims)
+
+
+def _scores(qn, kn, s_real: int, col_offset: int = 0, dot=None):
     """Normalized-input Gram → clipped acos scores; padded key columns are
     disabled by the GLOBAL column index (``col_offset`` positions the block
     inside the full S axis for S-tiled callers) without a materialized mask."""
-    g = _dot(qn, kn, ((1,), (1,)))
+    g = (dot or _dot)(qn, kn, ((1,), (1,)))
     gc = jnp.clip(g, -1.0 + EPS, 1.0 - EPS)
     s = -_acos(gc)
     col = col_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -134,7 +175,11 @@ DENOM_EPS = 1e-5
 
 
 def _poincare_pieces(qb, kb, c: float):
-    """Shared fwd recompute: returns (g, x2, y2, m, den, n2, n, zc)."""
+    """Shared fwd recompute: returns (g, x2, y2, m, den, n2, n, zc).
+
+    The Gram here is deliberately HIGHEST (never ``_fdot``): the x²−2g+y²
+    cancellation plus artanh amplification make the score path the one
+    place the 3-pass split measurably hurts (see FLASH_GRAM_3PASS note)."""
     g = _dot(qb, kb, ((1,), (1,)))                       # [TL, S]
     x2 = jnp.sum(qb * qb, axis=-1, keepdims=True)        # [TL, 1]
     y2 = jnp.sum(kb * kb, axis=-1)[None, :]              # [1, S]
@@ -449,8 +494,11 @@ _fused_core.defvjp(_fused_fwd, _fused_bwd)
 # Removes the whole-S-in-VMEM requirement of the kernel above (its practical  #
 # ceiling is S ≈ 2k): K/V stream through VMEM in tiles, so context length is  #
 # bounded by HBM, not VMEM. Maskless (the model's hot case — quirk Q2); the   #
-# padded-column iota predicate still applies. Same numerics contract:        #
-# HIGHEST-precision Gram, polynomial acos, clip-gated acos gradient.          #
+# padded-column iota predicate still applies. Numerics: compensated 3-pass    #
+# bf16 matmuls (_fdot / FLASH_GRAM_3PASS — round-4 adoption, ×1.2 at 4096²,   #
+# error 6e-6 ≪ the 1e-4 clamp) EXCEPT the poincaré score-path Gram, which     #
+# stays HIGHEST (see FLASH_GRAM_3PASS note); polynomial acos, clip-gated      #
+# acos gradient.                                                              #
 # --------------------------------------------------------------------------- #
 
 _FLASH_TILE_L = 256
@@ -467,7 +515,7 @@ def _flash_tile_scores(q_block, k_block, ki: int, tile_s: int, s_real: int,
     caller, the iota predicate stays as the maskless path's guard."""
     qn, q_norm = _normalize_rows(q_block)
     kn, _ = _normalize_rows(k_block)
-    g, gc, s = _scores(qn, kn, s_real, col_offset=ki * tile_s)
+    g, gc, s = _scores(qn, kn, s_real, col_offset=ki * tile_s, dot=_fdot)
     if val_row is not None:
         s = jnp.where(val_row > 0, s, NEG_INF)
     return qn, q_norm, kn, g, gc, s
@@ -509,7 +557,7 @@ def _make_flash_fwd_kernel(s_real: int, n_ktiles: int, tile_s: int,
                                                   tile_s, s_real, val_row)
         p = jnp.exp(s)                                    # [TL, TS]
         l_new = l_scr[...][:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[...] += _dot(p, v_ref[0], ((1,), (0,)))
+        acc_scr[...] += _fdot(p, v_ref[0], ((1,), (0,)))
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
         @pl.when(ki == n_ktiles - 1)
@@ -544,10 +592,10 @@ def _make_flash_poincare_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
         if has_val:
             s = jnp.where(val_ref[...] > 0, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0][:, :1])
-        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        dp = _fdot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
         dg, dx2p, _ = _poincare_grad_pieces(pieces, ds, c)
-        dqg_scr[...] += _dot(dg, kb, ((1,), (0,)))
+        dqg_scr[...] += _fdot(dg, kb, ((1,), (0,)))
         dx2_scr[...] += jnp.broadcast_to(dx2p, dx2_scr.shape)
 
         @pl.when(ki == n_ktiles - 1)
@@ -582,11 +630,11 @@ def _make_flash_poincare_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
         if has_val:
             s = jnp.where(val_ref[...] > 0, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0][:, :1])
-        dv_scr[...] += _dot(p, do_ref[0], ((0,), (0,)))
-        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        dv_scr[...] += _fdot(p, do_ref[0], ((0,), (0,)))
+        dp = _fdot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
         dg, _, dy2p = _poincare_grad_pieces(pieces, ds, c)
-        dkg_scr[...] += _dot(dg, qb, ((0,), (0,)))
+        dkg_scr[...] += _fdot(dg, qb, ((0,), (0,)))
         dy2_scr[...] += jnp.broadcast_to(dy2p, dy2_scr.shape)
 
         @pl.when(qi == n_qtiles - 1)
@@ -614,12 +662,12 @@ def _make_flash_dq_kernel(s_real: int, n_ktiles: int, tile_s: int,
         qn, q_norm, kn, g, gc, s = _flash_tile_scores(
             q_ref[0], k_ref[0], ki, tile_s, s_real, val_row)
         p = jnp.exp(s - lse_ref[0][:, :1])                # [TL, TS]
-        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        dp = _fdot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
         inside = jnp.abs(g) < (1.0 - EPS)
         dg = jnp.where(inside, ds * jax.lax.rsqrt(
             jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)
-        dqn_scr[...] += _dot(dg, kn, ((1,), (0,)))
+        dqn_scr[...] += _fdot(dg, kn, ((1,), (0,)))
 
         @pl.when(ki == n_ktiles - 1)
         def _():
@@ -650,13 +698,13 @@ def _make_flash_dkv_kernel(s_real: int, n_qtiles: int, tile_s: int,
         qn, _, kn, g, gc, s = _flash_tile_scores(
             q_ref[0], k_ref[0], ki, tile_s, s_real, val_row)
         p = jnp.exp(s - lse_ref[0][:, :1])
-        dv_scr[...] += _dot(p, do_ref[0], ((0,), (0,)))
-        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        dv_scr[...] += _fdot(p, do_ref[0], ((0,), (0,)))
+        dp = _fdot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0][:, :1])
         inside = jnp.abs(g) < (1.0 - EPS)
         dg = jnp.where(inside, ds * jax.lax.rsqrt(
             jnp.maximum(1.0 - gc * gc, 1e-12)), 0.0)
-        dkn_scr[...] += _dot(dg, qn, ((0,), (0,)))
+        dkn_scr[...] += _fdot(dg, qn, ((0,), (0,)))
 
         @pl.when(qi == n_qtiles - 1)
         def _():
