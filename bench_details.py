@@ -131,13 +131,24 @@ def bench_ode(lines):
         (32, 11, 1, 64)), jnp.float32)
     for method, steps in (("euler", 1), ("rk4", 8), ("dopri5", 1)):
         if method == "dopri5":
-            # do NOT chain adaptive solves: the second solve integrates the
-            # first's (smoother) output and takes far fewer steps, halving
-            # the apparent cost. One ~800 ms solve dwarfs tunnel noise, so
-            # plain repetition windows are fine here.
-            fn = jax.jit(lambda x: ode_encoder(params, x, cfg, time=12.0,
-                                               method="dopri5", steps=1))
-            per = profiling.time_fn(fn, x, iters=2)["seconds_per_call"]
+            # chaining adaptive solves on the RUNNING state distorts (the
+            # second solve integrates the first's smoother output and takes
+            # fewer steps), so chain solves of the SAME initial state: the
+            # never-true runtime select keeps a data dependency XLA cannot
+            # fold, making every chained solve identical (71 steps at the
+            # fp32-pinned default tolerances — ~41 ms/solve, no longer large
+            # vs the ~35 ms tunnel constant, hence window differencing)
+            def make_ode(n):
+                @jax.jit
+                def run(x):
+                    def body(c, _):
+                        x_same = jnp.where(jnp.isnan(c[0, 0, 0, 0]), c, x)
+                        return ode_encoder(params, x_same, cfg, time=12.0,
+                                           method="dopri5", steps=1), None
+                    return jax.lax.scan(body, x, None, length=n)[0]
+                return lambda: run(x)
+
+            per = _timed(make_ode, 4)
         else:
             # chain enough in-jit iterations that the window DIFFERENCE
             # rises above tunnel noise (euler is ~tens of µs/solve)

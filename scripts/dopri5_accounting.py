@@ -1,16 +1,25 @@
 """dopri5 cost accounting (round-3 VERDICT item 6).
 
-BENCHMARKS.md's dopri5 row is ~968 ms/solve at torchdiffeq's default
+BENCHMARKS.md's dopri5 row was ~968 ms/solve at torchdiffeq's default
 tolerances (rtol=1e-7, atol=1e-9) vs 36-47 ms loosened. This script settles
-WHY: it counts attempted/accepted RK45 steps and RHS evaluations at each
-tolerance (``odeint(..., return_stats=True)``, platform-independent numerics)
-and — on the TPU — divides measured solve time by the RHS count to get
-µs/RHS-eval, compared against the rk4 row's µs/RHS-eval. If dopri5's
-µs/RHS-eval ≈ rk4's, the 968 ms is (steps × RHS cost), i.e. TOLERANCE-BOUND;
-if it is much larger, while_loop/host overhead dominates and there is a perf
-lever to pull.
+WHY by counting attempted/accepted RK45 steps and RHS evaluations on the
+device itself (``odeint(..., return_stats=True)``) and dividing measured
+solve time by the RHS count to get µs/RHS-eval vs the rk4 row's.
 
-Usage:  python scripts/dopri5_accounting.py            # TPU: counts + timing
+ANSWER (round 4, measured on v5e): the solve was WORK-bound at a sane 21
+µs/RHS — but doing 109x too much work. TPU's ambient bf16 matmul truncation
+puts an ~2^-8-relative noise floor under the embedded-pair error estimate;
+below that floor the PI controller shrinks h against noise that does not
+shrink with h: 7,762 accepted steps / 46,748 RHS evals / 998 ms at defaults,
+vs 71 steps / 428 evals / 41 ms with fp32-pinned RHS matmuls (x24). The
+fp32 pin is now the solver default for adaptive methods
+(``odeint(matmul_precision=...)``, solvers.py module note); the
+``--ambient`` flag here re-measures the unpinned form to keep the failure
+mode reproducible. (Step COUNTS are platform-dependent for exactly this
+reason — the old assumption that CPU counts transfer to TPU is what hid
+this for a round.)
+
+Usage:  python scripts/dopri5_accounting.py [--ambient]  # TPU
         JAX_PLATFORMS=cpu python scripts/dopri5_accounting.py --counts-only
 """
 
@@ -52,7 +61,10 @@ TOLS = [(1e-7, 1e-9, "torchdiffeq default"),
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--counts-only", action="store_true",
-                    help="skip device timing (counts are platform-independent)")
+                    help="skip device timing")
+    ap.add_argument("--ambient", action="store_true",
+                    help="also measure matmul_precision='inherit' at default "
+                         "tolerances (the bf16 noise-floor failure mode)")
     args = ap.parse_args()
 
     cfg = LayerConfig(d_model=64, num_heads=8, ff_dim=1024)
@@ -66,9 +78,31 @@ def main():
 
     ts = jnp.linspace(0.0, 12.0, 2)   # one output interval, the flagship grid
 
-    # step needs measured on CPU (counts are platform-independent): 71 at
+    # step needs with the fp32-pinned RHS (identical CPU and TPU): 71 at
     # defaults, 16 at 1e-5/1e-7, 7 at 1e-3/1e-6 — budgets sized above each
     budgets = {1e-7: 96, 1e-5: 24, 1e-3: 12}
+
+    if args.ambient:
+        # the failure mode the fp32 pin fixes: ambient (bf16 on TPU) RHS
+        # matmuls noise-floor the error estimator at default tolerances
+        fn = jax.jit(lambda x, p: odeint(
+            rhs, x, ts, p, method="dopri5", rtol=1e-7, atol=1e-9,
+            matmul_precision="inherit", return_stats=True))
+        ys, stats = fn(x, params)
+        att, acc = int(stats["attempted_steps"]), int(stats["accepted_steps"])
+        evals = int(stats["rhs_evals"])
+        msg = (f"dopri5[while, AMBIENT precision] rtol=1e-07 atol=1e-09: "
+               f"{att} attempted / {acc} accepted steps, {evals} RHS evals")
+        if not args.counts_only:
+            _ = np.asarray(jax.device_get(jnp.ravel(ys[-1])[:1]))
+            best = float("inf")
+            for _i in range(3):
+                t0 = time.perf_counter()
+                ys2, _st = fn(x, params)
+                _ = np.asarray(jax.device_get(jnp.ravel(ys2[-1])[:1]))
+                best = min(best, time.perf_counter() - t0)
+            msg += f", {best*1e3:.1f} ms/solve = {best/evals*1e6:.0f} µs/RHS"
+        print(msg, flush=True)
 
     rows = []
     for rtol, atol, label in TOLS:
@@ -89,13 +123,12 @@ def main():
                 # one ~long solve dwarfs tunnel noise; do NOT chain while-form
                 # adaptive solves (the second integrates a smoother state and
                 # takes fewer steps, halving the apparent cost)
-                _ = float(np.asarray(jax.device_get(jnp.ravel(ys[-1])[:1])))
+                _ = np.asarray(jax.device_get(jnp.ravel(ys[-1])[:1]))[0]
                 best = float("inf")
                 for _i in range(3):
                     t0 = time.perf_counter()
                     ys2, _st = fn(x, params)
-                    _ = float(np.asarray(jax.device_get(
-                        jnp.ravel(ys2[-1])[:1])))
+                    _ = np.asarray(jax.device_get(jnp.ravel(ys2[-1])[:1]))[0]
                     best = min(best, time.perf_counter() - t0)
                 per = best
             elif not args.counts_only:
@@ -116,8 +149,7 @@ def main():
 
                     def thunk():
                         o = run(x, params)
-                        _ = float(np.asarray(jax.device_get(
-                            jnp.ravel(o)[:1])))
+                        _ = np.asarray(jax.device_get(jnp.ravel(o)[:1]))[0]
                         return o
                     return thunk
 
@@ -148,14 +180,6 @@ def main():
         steps = 8
         loop = 40
 
-        @jax.jit
-        def rk4_loop(x, p):
-            def body(c, _):
-                z = odeint(rhs, c, jnp.linspace(0.0, 12.0, steps + 1), p,
-                           method="rk4")
-                return jax.tree_util.tree_map(lambda a: a[-1], z), None
-            return jax.lax.scan(body, x, None, length=loop)[0]
-
         def timed(n):
             @jax.jit
             def run(x, p):
@@ -164,12 +188,12 @@ def main():
                                method="rk4")
                     return jax.tree_util.tree_map(lambda a: a[-1], z), None
                 return jax.lax.scan(body, x, None, length=n)[0]
-            _ = float(np.asarray(jax.device_get(jnp.ravel(run(x, params))[:1])))
+            _ = np.asarray(jax.device_get(jnp.ravel(run(x, params))[:1]))[0]
             best = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
                 o = run(x, params)
-                _ = float(np.asarray(jax.device_get(jnp.ravel(o)[:1])))
+                _ = np.asarray(jax.device_get(jnp.ravel(o)[:1]))[0]
                 best = min(best, time.perf_counter() - t0)
             return best
 

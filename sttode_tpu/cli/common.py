@@ -65,10 +65,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ode_scan_budget", type=int, default=0,
                    help="dopri5 only: >0 runs the adaptive controller as a "
                         "lax.scan over exactly this many RK45 attempts per "
-                        "interval (escapes while_loop per-iteration overhead; "
-                        "step needs at the flagship RHS: 71 at default "
-                        "tolerances, 16 at 1e-5/1e-7, 7 at 1e-3/1e-6). "
-                        "0 = while_loop")
+                        "interval (static trip count, directly reverse-"
+                        "differentiable; step needs at the flagship RHS: 71 "
+                        "at default tolerances, 16 at 1e-5/1e-7, 7 at "
+                        "1e-3/1e-6). 0 = while_loop")
     p.add_argument("--compute_dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="bfloat16 casts the decode-MLP matmul operands (the "

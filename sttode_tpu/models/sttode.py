@@ -54,18 +54,22 @@ class STTODEConfig(NamedTuple):
     ode_adjoint: bool = False     # O(1)-memory continuous-adjoint gradients
                                   # through the ODE encoder
     ode_rtol: float = 1e-7        # dopri5 adaptive tolerances (torchdiffeq
-    ode_atol: float = 1e-9        # defaults); looser = far fewer steps —
-                                  # measured on v5e: 830 ms/solve at defaults,
-                                  # 47 ms at 1e-5/1e-7 (solution Δ ~3e-3),
-                                  # 36 ms at 1e-3/1e-6
+    ode_atol: float = 1e-9        # defaults); looser = fewer steps — v5e,
+                                  # fp32-pinned RHS (the solver default):
+                                  # 11.9 ms/solve device-side at defaults
+                                  # (71 steps), proportionally less loosened
+                                  # (16 steps at 1e-5/1e-7, 7 at 1e-3/1e-6).
+                                  # BENCHMARKS.md dopri5 accounting has the
+                                  # story: under ambient bf16 matmuls the
+                                  # error estimator noise-floors and the
+                                  # controller grinds to 7,762 steps/997 ms.
     ode_scan_budget: int = 0      # >0 runs dopri5 as a lax.scan over exactly
                                   # this many RK45 attempts per interval
                                   # (masked no-ops once converged) instead of
-                                  # a while_loop — same control law; pays
-                                  # budget-steps_needed wasted attempts to
-                                  # escape the while_loop's per-iteration
-                                  # overhead (measured ~110x the in-scan RHS
-                                  # cost — BENCHMARKS.md dopri5 accounting).
+                                  # a while_loop — same control law, directly
+                                  # reverse-differentiable (the while form is
+                                  # not); pays budget-steps_needed wasted
+                                  # attempts for the static trip count.
                                   # Step needs at the flagship RHS: 71
                                   # (default tolerances), 16 (1e-5/1e-7),
                                   # 7 (1e-3/1e-6). 0 = while_loop.

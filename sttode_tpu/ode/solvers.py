@@ -21,6 +21,7 @@ recompute for memory through long scans.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Callable
 
@@ -31,6 +32,30 @@ Pytree = Any
 
 _FIXED_METHODS = ("euler", "midpoint", "rk4")
 _ADAPTIVE_METHODS = ("dopri5",)
+
+# Adaptive solves pin RHS matmuls to fp32 by default. On TPU the ambient
+# matmul precision truncates operands to bf16, which puts an ~2^-8-relative
+# NOISE FLOOR under the embedded-pair error estimate; at tolerances below
+# that floor the PI controller shrinks h against noise that does not shrink
+# with h, inflating the step count ~110x. Measured on-chip (round-4, the
+# flagship encoder RHS, rtol=1e-7/atol=1e-9, scripts/dopri5_accounting.py):
+# ambient-bf16 7,762 accepted steps / 46,748 RHS evals / 997 ms per solve;
+# fp32-pinned 71 steps / 428 evals / 11.9 ms device-side (~x81) at a
+# near-identical ~21 -> 27.8 µs/RHS — the win is doing 109x fewer evals.
+# Fixed-grid methods are left on the ambient precision: their step count is
+# static so there is nothing for noise to inflate, and the flagship
+# euler/rk4 training numerics are ledger-locked (CONVERGENCE.md).
+_ADAPTIVE_DEFAULT_PRECISION = "float32"
+
+
+def _precision_scope(matmul_precision, method):
+    """Trace-time matmul-precision scope for a solve (see the note above)."""
+    if matmul_precision is None:
+        matmul_precision = (_ADAPTIVE_DEFAULT_PRECISION
+                            if method in _ADAPTIVE_METHODS else "inherit")
+    if matmul_precision == "inherit":
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(matmul_precision)
 
 
 # --------------------------------------------------------------------------- #
@@ -233,12 +258,17 @@ def _dopri5_interval_scan(func, y0, k1_0, t0, t1, rtol, atol, args, budget):
     accept/reject — so accepted trajectories match the while_loop bit-for-bit;
     only the iteration COUNT is static.
 
-    Why it exists (round-3 VERDICT item 6 accounting): on the target backend
-    the while_loop form costs ~2.3 ms per RHS eval vs ~21 µs inside a scan —
-    the adaptive solve is loop-overhead-bound, not tolerance-bound. A scan
-    with a static budget pays `budget − steps_needed` wasted attempts instead
-    of that per-iteration overhead. If the budget is exhausted before t1 the
-    state simply stops advancing — check ``stats["budget_exhausted"]``
+    Why it exists: (a) direct reverse-mode autodiff — ``lax.while_loop`` is
+    not reverse-differentiable, so this form is the only way to backprop
+    through adaptive dopri5 without the continuous adjoint; (b) a static
+    trip count, which some callers need for shape-stable pipelining. It
+    pays ``budget − steps_needed`` wasted attempts for that. (An earlier
+    round attributed the 968 ms/solve dopri5 row to while_loop overhead
+    and pointed here for speed; the on-chip accounting disproved that —
+    the cost was bf16-noise step-count inflation, fixed by the fp32
+    matmul-precision pin above, and the while form's per-RHS cost matches
+    the scan's.) If the budget is exhausted before t1 the state simply
+    stops advancing — check ``stats["budget_exhausted"]``
     (``odeint(..., return_stats=True)``)."""
     direction = jnp.sign(t1 - t0)
     span = jnp.abs(t1 - t0)
@@ -326,7 +356,8 @@ def _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
 def odeint(func: Callable, y0: Pytree, ts, *args, method: str = "euler",
            rtol: float = 1e-7, atol: float = 1e-9, max_steps: int = 10_000,
            checkpoint: bool = False, return_stats: bool = False,
-           scan_budget: int | None = None) -> Pytree:
+           scan_budget: int | None = None,
+           matmul_precision: str | None = None) -> Pytree:
     """Integrate ``dy/dt = func(t, y, *args)``, reporting y at each ``ts``.
 
     Fixed-grid methods (euler/midpoint/rk4) use ``ts`` itself as the step grid
@@ -341,14 +372,22 @@ def odeint(func: Callable, y0: Pytree, ts, *args, method: str = "euler",
     ``scan_budget`` (dopri5 only): run the adaptive controller as a
     ``lax.scan`` over exactly this many RK45 attempts per output interval
     (masked no-ops once done) instead of a ``lax.while_loop``. Same control
-    law, static trip count — the fast form where while_loop iteration
-    overhead dominates (measured ~110× the in-scan RHS cost on the target
-    backend; see BENCHMARKS.md dopri5 accounting). Budget it above the
-    tolerance's step need (``return_stats`` reports ``budget_exhausted``).
+    law, static trip count; unlike the while form it is directly
+    reverse-differentiable. Budget it above the tolerance's step need
+    (``return_stats`` reports ``budget_exhausted``).
+
+    ``matmul_precision``: trace-time matmul precision for the whole solve
+    (RHS included). ``None`` (default) pins adaptive methods to ``"float32"``
+    — on TPU the ambient bf16 truncation noise-floors the error estimator
+    and inflates the step count ~110x (measured ~x81 device-side at default
+    tolerances; see the module note) — and leaves fixed-grid methods on the
+    ambient precision. Pass a `jax.default_matmul_precision` string
+    ("bfloat16"/"float32"/"highest") to force, or ``"inherit"`` to opt out.
     """
     ts = jnp.asarray(ts)
     if method in _FIXED_METHODS:
-        ys = _fixed_odeint(func, y0, ts, args, method, checkpoint)
+        with _precision_scope(matmul_precision, method):
+            ys = _fixed_odeint(func, y0, ts, args, method, checkpoint)
         if not return_stats:
             return ys
         n = ts.shape[0] - 1
@@ -357,9 +396,10 @@ def odeint(func: Callable, y0: Pytree, ts, *args, method: str = "euler",
                     "accepted_steps": jnp.asarray(n, jnp.int32),
                     "rhs_evals": jnp.asarray(evals, jnp.int32)}
     if method in _ADAPTIVE_METHODS:
-        return _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
-                              return_stats=return_stats,
-                              scan_budget=scan_budget)
+        with _precision_scope(matmul_precision, method):
+            return _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
+                                  return_stats=return_stats,
+                                  scan_budget=scan_budget)
     raise ValueError(
         f"unknown method {method!r}; expected one of "
         f"{_FIXED_METHODS + _ADAPTIVE_METHODS}")
@@ -368,36 +408,38 @@ def odeint(func: Callable, y0: Pytree, ts, *args, method: str = "euler",
 def odeint_adjoint(func: Callable, y0: Pytree, ts, *args,
                    method: str = "dopri5", rtol: float = 1e-7,
                    atol: float = 1e-9, max_steps: int = 10_000,
-                   scan_budget: int | None = None) -> Pytree:
+                   scan_budget: int | None = None,
+                   matmul_precision: str | None = None) -> Pytree:
     """Like :func:`odeint` but with O(1)-memory continuous-adjoint gradients.
 
     Differentiable in ``y0`` and ``*args`` (parameter pytrees); ``ts`` is
     treated as constant. The backward pass integrates the augmented system
     ``[y, a_y, a_args]`` backwards in time interval-by-interval with the same
-    solver settings (including ``scan_budget`` — see :func:`odeint`),
-    accumulating output cotangents at each grid time.
+    solver settings (including ``scan_budget`` and ``matmul_precision`` —
+    see :func:`odeint`), accumulating output cotangents at each grid time.
     """
     ts = jnp.asarray(ts)
     return _odeint_adjoint_core(func, method, rtol, atol, max_steps,
-                                scan_budget, y0, ts, args)
+                                scan_budget, matmul_precision, y0, ts, args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _odeint_adjoint_core(func, method, rtol, atol, max_steps, scan_budget,
-                         y0, ts, args):
+                         matmul_precision, y0, ts, args):
     return odeint(func, y0, ts, *args, method=method, rtol=rtol, atol=atol,
-                  max_steps=max_steps, scan_budget=scan_budget)
+                  max_steps=max_steps, scan_budget=scan_budget,
+                  matmul_precision=matmul_precision)
 
 
-def _adjoint_fwd(func, method, rtol, atol, max_steps, scan_budget, y0, ts,
-                 args):
+def _adjoint_fwd(func, method, rtol, atol, max_steps, scan_budget,
+                 matmul_precision, y0, ts, args):
     ys = _odeint_adjoint_core(func, method, rtol, atol, max_steps,
-                              scan_budget, y0, ts, args)
+                              scan_budget, matmul_precision, y0, ts, args)
     return ys, (ys, ts, args)
 
 
-def _adjoint_bwd(func, method, rtol, atol, max_steps, scan_budget, residuals,
-                 g):
+def _adjoint_bwd(func, method, rtol, atol, max_steps, scan_budget,
+                 matmul_precision, residuals, g):
     ys, ts, args = residuals
     num_t = ts.shape[0]
 
@@ -427,7 +469,8 @@ def _adjoint_bwd(func, method, rtol, atol, max_steps, scan_budget, residuals,
         aug_ts = jnp.stack([t1, t0])
         aug_out = odeint(aug_dynamics, aug0, aug_ts, method=method, rtol=rtol,
                          atol=atol, max_steps=max_steps,
-                         scan_budget=scan_budget)
+                         scan_budget=scan_budget,
+                         matmul_precision=matmul_precision)
         _, y_bar_new, args_bar_new = jax.tree_util.tree_map(
             lambda x: x[1], aug_out)
         g_i = jax.tree_util.tree_map(lambda x: x[i], g)
