@@ -430,6 +430,13 @@ def prior(params: dict, cfg: STTODEConfig,
 # always hoist (round-2 measurement, small rows).
 SELECT_GRU_HOIST_MAX_ROWS = 4096
 
+# lax.scan unroll factor for the decode GRU scans (True = full unroll).
+# The recurrence is serial either way; this only trades XLA while-loop
+# machinery for code size. Measured a wash-to-loss on v5e at every
+# train-step batch size (unroll speedup ×0.905/×0.973/×0.983 at
+# B=32/128/512 — scripts/gru_unroll_ab.py), so the loop form stays.
+GRU_UNROLL: int | bool = 1
+
 # select_impl="auto" routes the selection decode to the fused Pallas kernel
 # at and above this many rows. Round-4 four-point step-level A/B (bf16
 # selection, 5 alternating rounds, medians — BENCHMARKS.md round-4 notes):
@@ -501,7 +508,7 @@ def decode_block0_state(params: dict, past_traj: jnp.ndarray) -> jnp.ndarray:
     computation."""
     block = params["decoder"][0]
     h = jax.nn.relu(conv1d(block["conv_past"], past_traj, padding=1))
-    _, state_m = gru(block["gru"], h)                          # [M, 96]
+    _, state_m = gru(block["gru"], h, unroll=GRU_UNROLL)       # [M, 96]
     return state_m
 
 
@@ -545,7 +552,8 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
         else:
             residual = x_true - x_hat                          # [M·s, T_p, 2]
             h = jax.nn.relu(conv1d(block["conv_past"], residual, padding=1))
-            _, state = gru(block["gru"], h, hoist=gru_hoist)   # [M·s, 96]
+            _, state = gru(block["gru"], h, hoist=gru_hoist,
+                           unroll=GRU_UNROLL)                  # [M·s, 96]
         feat = jnp.concatenate([hidden, state], axis=-1)
         x_hat = core.mlp(block["decoder_x"], feat,
                          compute_dtype=cd).reshape(-1, cfg.past_length, 2)

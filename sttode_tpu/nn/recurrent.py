@@ -61,7 +61,8 @@ def gru_cell(params: GRUParams, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 def gru(params: GRUParams, xs: jnp.ndarray,
         h0: jnp.ndarray | None = None, *,
-        hoist: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+        hoist: bool = True,
+        unroll: int | bool = 1) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run a GRU over the time axis. xs: [B, T, D] → (ys [B, T, H], h_T [B, H]).
 
     With ``hoist=True`` (default) the input projection ``xs @ w_ih`` moves
@@ -74,7 +75,13 @@ def gru(params: GRUParams, xs: jnp.ndarray,
     the input projection inside the scan and reads only xs — the best-of-K
     selection decode (B = scenes·agents·K ≈ 10⁵ rows) uses this. Both forms
     compute the same recurrence; only the input projection's matmul
-    batching reassociates (~1e-7 under jax's default matmul precision)."""
+    batching reassociates (~1e-7 under jax's default matmul precision).
+
+    ``unroll`` forwards to ``lax.scan`` (True = full unroll): the recurrence
+    stays serial either way, this only trades XLA while-loop machinery for
+    code size. Measured a wash-to-LOSS at every train-step batch size on
+    v5e (unroll speedup ×0.905/×0.973/×0.983 at B=32/128/512,
+    scripts/gru_unroll_ab.py) — kept at 1 by default."""
     B, T, _ = xs.shape
     H = params.w_hh.shape[0]
     if h0 is None:
@@ -92,11 +99,13 @@ def gru(params: GRUParams, xs: jnp.ndarray,
 
     if hoist:
         gi_all = xs @ params.w_ih + params.b_ih        # [B, T, 3H], one matmul
-        h_final, ys = jax.lax.scan(cell, h0, jnp.swapaxes(gi_all, 0, 1))
+        h_final, ys = jax.lax.scan(cell, h0, jnp.swapaxes(gi_all, 0, 1),
+                                   unroll=unroll)
     else:
         def step(h, x_t):
             return cell(h, x_t @ params.w_ih + params.b_ih)
-        h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+        h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1),
+                                   unroll=unroll)
     return jnp.swapaxes(ys, 0, 1), h_final
 
 

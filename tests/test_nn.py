@@ -166,6 +166,20 @@ class TestGRUConvParity:
         np.testing.assert_allclose(np.asarray(h_h), np.asarray(h_u),
                                    atol=2e-6)
 
+    def test_gru_unroll_matches_loop(self, rng):
+        """unroll=True (full lax.scan unroll) is the same recurrence with the
+        same per-step operations — bitwise-equal to the while-loop form, in
+        both hoist modes."""
+        p = recurrent.gru_init(jax.random.PRNGKey(0), 32, 96)
+        xs = jnp.asarray(rng.standard_normal((16, 8, 32)).astype(np.float32))
+        for hoist in (True, False):
+            ys_l, h_l = jax.jit(recurrent.gru, static_argnames=(
+                "hoist", "unroll"))(p, xs, hoist=hoist, unroll=1)
+            ys_u, h_u = jax.jit(recurrent.gru, static_argnames=(
+                "hoist", "unroll"))(p, xs, hoist=hoist, unroll=True)
+            np.testing.assert_array_equal(np.asarray(ys_l), np.asarray(ys_u))
+            np.testing.assert_array_equal(np.asarray(h_l), np.asarray(h_u))
+
     def test_conv1d_matches_torch(self, rng):
         torch = pytest.importorskip("torch")
         B, T, Cin, Cout, K = 4, 8, 2, 32, 3
