@@ -70,7 +70,13 @@ def _timed(make_thunk, loop: int, repeats: int = 4) -> float:
         t1, t2 = best(t_n), best(t_2n)
         if t2 > t1 * 1.05:
             return (t2 - t1) / loop
-    return max((t2 - t1) / loop, 1e-9)
+    # still collapsed after 3 pairs: the measurement is not trustworthy —
+    # return NaN so the table cell is loudly invalid instead of an absurd
+    # number (a 0 µs / 4e6-TF/s cell shipped from exactly this failure once)
+    import sys
+    print(f"_timed: window difference collapsed 3x (t1={t1:.4f}s "
+          f"t2={t2:.4f}s, loop={loop}) — emitting NaN", file=sys.stderr)
+    return float("nan")
 
 
 def bench_train_and_infer(lines):

@@ -28,7 +28,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bench_details import _timed
 from sttode_tpu.kernels import mhgsa
 
 
@@ -50,22 +49,11 @@ def main():
     mhgsa.FLASH_GRAM_3PASS = False
     orig_dot = mhgsa._dot
 
-    def dot_bf16x3(a, b, dims):
-        a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def d(x, y):
-            return jax.lax.dot_general(
-                x, y, (dims, ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-
-        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
-
     def with_prec(name):
         if name == "BF16x3":
-            mhgsa._dot = dot_bf16x3
+            # the SHIPPED 3-pass split (kernels/mhgsa._dot3) — the A/B must
+            # measure the exact formula being adopted, not a local re-type
+            mhgsa._dot = mhgsa._dot3
             mhgsa._PRECISION = jax.lax.Precision.DEFAULT
         else:
             mhgsa._dot = orig_dot

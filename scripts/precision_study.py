@@ -77,12 +77,11 @@ def dot_variants(orig_dot):
             x, y, (dims, ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
 
-    def dot_bf16x3(a, b, dims):
-        """3-pass f32-from-bf16 (drops lo·lo): the compensated form — the
-        smallest split that keeps BOTH first-order error terms."""
-        a_hi, a_lo = split(a)
-        b_hi, b_lo = split(b)
-        return d(a_hi, b_hi, dims) + d(a_hi, b_lo, dims) + d(a_lo, b_hi, dims)
+    # 3-pass f32-from-bf16 (drops lo·lo): the compensated form — the smallest
+    # split that keeps BOTH first-order error terms. This is the SHIPPED
+    # implementation (kernels/mhgsa._dot3) so the study measures exactly the
+    # formula the flash kernels adopted.
+    dot_bf16x3 = mhgsa._dot3
 
     def dot_bf16x2(a, b, dims):
         """2-pass (round-3 VERDICT item 4's literal construction): keeps only
@@ -111,27 +110,11 @@ def main():
         flops = 2 * B * L * L * (2 * Dh + 1)
         orig_dot = mhgsa._dot
 
-        def dot_bf16x3(a, b, dims):
-            """3-pass f32-from-bf16 dot (drops the lo·lo term): the manual
-            equivalent of Precision.HIGH, which Mosaic does not lower."""
-            a_hi = a.astype(jnp.bfloat16)
-            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            b_hi = b.astype(jnp.bfloat16)
-            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-            def d(x, y):
-                return jax.lax.dot_general(
-                    x, y, (dims, ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)
-
-            return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
-
         def dot_gram3(a, b, dims):
             """bf16x3 only for the Gram (contracting dim 1 vs 1); HIGHEST for
-            the AV/probability matmuls."""
+            the AV/probability matmuls. Uses the shipped mhgsa._dot3 split."""
             if dims == ((1,), (1,)):
-                return dot_bf16x3(a, b, dims)
+                return mhgsa._dot3(a, b, dims)
             return orig_dot(a, b, dims)
 
         variants = dot_variants(orig_dot)

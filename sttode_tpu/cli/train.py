@@ -61,6 +61,16 @@ def main(argv=None):
             print(f"distributed: process {jax.process_index()} of "
                   f"{jax.process_count()}, {jax.local_device_count()} local "
                   f"/ {jax.device_count()} global devices")
+        else:
+            # --distributed is an explicit request; a worker whose coordinator
+            # env is missing must NOT quietly train standalone (it would
+            # duplicate work and race the others' checkpoint directory)
+            raise SystemExit(
+                "--distributed was passed but no coordinator is configured: "
+                "set JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES, "
+                "JAX_PROCESS_ID) or run under a Cloud TPU multislice launcher "
+                "(MEGASCALE_COORDINATOR_ADDRESS); drop the flag for "
+                "single-process training")
     nprng = common.seed_everything(args.seed)
     cfg = common.model_config(args)
 

@@ -49,8 +49,38 @@ NEG_INF = -1e30
 # lane of a valid row flushes to 0 and the row returns zeros instead of a
 # softmax. 12.21/√c ≤ 80 ⇔ c ≥ 0.0233; enforced with margin here. Callers
 # wanting extreme negative curvature route to the jnp/XLA dense path, which
-# keeps the classic max-subtracted softmax.
+# keeps the classic max-subtracted softmax. Additive masks cannot break the
+# bound: _canonicalize_mask row-max-shifts finite entries, so each row's
+# BEST lane enters exp with mask contribution 0 — i.e. at its raw score,
+# which the curvature guard keeps above underflow — and that lane alone
+# keeps the row's denominator alive no matter how negative the other
+# (clipped, ≈1e-13-weight) lanes go.
 MIN_MAXLESS_CURVATURE = 0.024
+
+
+def _canonicalize_mask(m: jnp.ndarray) -> jnp.ndarray:
+    """Make an arbitrary additive mask safe for the maxless in-kernel softmax
+    (see the MASK CONTRACT in fused_geodesic_attention): subtract the per-row
+    max of the finite entries (softmax-invariant — positive biases and large
+    uniform penalties become exact, and every finite lane lands ≤ 0), floor
+    the remainder at -30, and preserve the ≤ -1e29 exclusion sentinel as
+    NEG_INF. All intermediates are finite (no ±inf), so gradients into a
+    differentiable mask stay NaN-free; the floor's zero-gradient region only
+    covers lanes already at ≤ 1e-13 relative weight."""
+    m = m.astype(jnp.float32)
+    finite = m > -1e29
+    # -3e38 stands in for "excluded" inside the max: finite (no inf-grads),
+    # and smaller than any representable penalty a caller could pass
+    row_max = jnp.max(jnp.where(finite, m, jnp.float32(-3e38)),
+                      axis=-1, keepdims=True)
+    any_finite = jnp.any(finite, axis=-1, keepdims=True)
+    row_max = jnp.where(any_finite, row_max, 0.0)
+    # lower bound only: shifted ≤ 0 by construction for the finite lanes
+    # (their row max was just subtracted), and an upper clamp at 0 would sit
+    # exactly ON the row-max lane's value, where min's tie-splitting halves
+    # the mask cotangent vs the dense softmax's
+    shifted = jnp.maximum(jnp.where(finite, m, 0.0) - row_max, -30.0)
+    return jnp.where(finite, shifted, NEG_INF)
 
 
 def _check_maxless_bounds(metric: str, curvature: float) -> None:
@@ -914,11 +944,18 @@ def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     smaller c raises — use the dense route).
 
     q: [..., L, Dh], k/v: [..., S, Dh], mask additive [..., L, S] or None.
-    MASK CONTRACT: the mask is a non-positive additive bias — the validity
-    form {0, -inf/-1e30} or finite penalties ≤ 0. The in-kernel softmax is
-    maxless (scores are clamp-bounded ≤ 0), so a POSITIVE bias could overflow
-    exp; positive mask values are therefore clamped to 0 here (gradient 0
-    through the clamp), loudly documented rather than silently wrong.
+    MASK CONTRACT: entries ≤ -1e29 are the exclusion sentinel (weight exactly
+    0; an all-excluded row outputs 0). Any OTHER finite values — positive
+    bias or negative penalty — are canonicalized before entering the kernel:
+    the per-row max of the finite entries is subtracted (a softmax-invariant
+    shift, so arbitrary finite masks give the same weights as the dense
+    max-subtracted softmax, and every finite lane lands ≤ 0) and the
+    remainder floored at -30 (a lane 30 below its row's best already weighs
+    ≤ e⁻³⁰ ≈ 1e-13 — numerically excluded; without the floor a large finite
+    penalty could push score+mask below fp32 exp underflow and flush lanes
+    to EXACT 0 inside the maxless kernel). The shift guarantees each row's
+    best lane enters exp at its raw
+    score (≥ the maxless bound), so valid rows can never flush to all-zero.
     Leading dims are flattened into the kernel grid's batch axis. fp32 only.
     ``interpret`` defaults to True off-TPU so the same code path runs (slowly,
     exactly) on the CPU test mesh.
@@ -934,8 +971,7 @@ def fused_geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q3 = q.reshape(B, L, Dh).astype(jnp.float32)
     k3 = k.reshape(B, S, Dh).astype(jnp.float32)
     v3 = v.reshape(B, S, Dh).astype(jnp.float32)
-    m3 = None if mask is None else \
-        jnp.minimum(jnp.broadcast_to(mask, (*lead, L, S)).reshape(B, L, S),
-                    0.0)   # mask contract: non-positive bias (see docstring)
+    m3 = None if mask is None else _canonicalize_mask(
+        jnp.broadcast_to(mask, (*lead, L, S)).reshape(B, L, S))
     out = _fused_core(q3, k3, v3, m3, interpret, metric, float(curvature))
     return out.reshape(*lead, L, Dh)

@@ -212,6 +212,15 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     Returns (out [..., L, Dh], weights [..., L, S] or None when the fused
     kernel path is taken).
 
+    Mask semantics are ROUTE-INDEPENDENT: arbitrary finite biases (positive
+    or negative) give the dense softmax(s + mask) result on every route —
+    the fused kernel canonicalizes the mask with a softmax-invariant
+    per-row shift (see fused_geodesic_attention's MASK CONTRACT; entries
+    ≤ -1e29 mean exclusion, finite penalties floor at -30 ≈ 1e-13 weight).
+    The packed/flash/ring/ulysses kernels accept masks only in key-validity
+    form (``kv_valid``) and raise on additive masks rather than dropping
+    them.
+
     ``fused``: True forces the whole-S Pallas kernel, "flash" the S-tiled
     online-softmax kernel, False the jnp path, "auto" routes by measured
     crossover and VMEM ceiling (see `_kernel_route`), "ring" the

@@ -189,7 +189,12 @@ def _rms(tree, y_ref, rtol, atol):
         r = (x / scale).astype(jnp.float32)
         total = total + jnp.sum(r * r)
         count += r.size
-    return jnp.sqrt(total / count)
+    # the 1e-30 keeps sqrt's derivative finite at total == 0 (same guard as
+    # _error_ratio): _initial_step is on the differentiated path of the
+    # direct reverse-mode scan-budget solver, and a constant vector field
+    # makes diff == 0 exactly — 0·inf in the dead where-branch poisons every
+    # parameter gradient of the solve otherwise
+    return jnp.sqrt(total / count + 1e-30)
 
 
 def _initial_step(func, t0, y0, f0, direction, rtol, atol, args):
@@ -204,9 +209,11 @@ def _initial_step(func, t0, y0, f0, direction, rtol, atol, args):
     diff = jax.tree_util.tree_map(lambda a, b: a - b, f1, f0)
     d2 = _rms(diff, y0, rtol, atol) / h0
     dm = jnp.maximum(d1, d2)
+    # dm enters the power on BOTH where-branches during autodiff; floor it so
+    # the dead branch's 1/dm stays finite (0·inf = NaN otherwise)
     h1 = jnp.where(dm <= 1e-15,
                    jnp.maximum(1e-6, h0 * 1e-3),
-                   (0.01 / dm) ** (1.0 / _ORDER))
+                   (0.01 / jnp.maximum(dm, 1e-15)) ** (1.0 / _ORDER))
     return jnp.minimum(100.0 * h0, h1)
 
 
@@ -328,6 +335,18 @@ def _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
     y0_expanded = jax.tree_util.tree_map(lambda x: x[None], y0)
     ys = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a, b], axis=0), y0_expanded, ys_tail)
+    if scan_budget is not None:
+        # exhaustion is otherwise SILENT (the state just stops advancing and
+        # the caller trains on a mid-interval truncation): warn loudly from
+        # inside the jitted program whether or not stats are requested
+        jax.lax.cond(
+            jnp.logical_not(jnp.all(done)),
+            lambda: jax.debug.print(
+                "WARNING sttode_tpu.ode: dopri5 scan_budget={b} exhausted "
+                "before reaching an interval end — the returned trajectory "
+                "(and any gradients through it) is truncated mid-interval; "
+                "raise scan_budget or loosen rtol/atol", b=scan_budget),
+            lambda: None)
     if not return_stats:
         return ys
     # RHS-eval count: 1 initial k1, and per interval 1 extra probe eval in
@@ -467,9 +486,15 @@ def _adjoint_bwd(func, method, rtol, atol, max_steps, scan_budget,
         y_at_t1 = jax.tree_util.tree_map(lambda x: x[i + 1], ys)
         aug0 = (y_at_t1, y_bar_c, args_bar_c)
         aug_ts = jnp.stack([t1, t0])
+        # the reversed augmented system (y, a_y, a_args) is stiffer than the
+        # forward solve and its controller re-adapts from scratch, so a
+        # budget that exactly covers the forward can exhaust here and
+        # silently truncate gradients — give the backward twice the budget
+        # (exhaustion still warns via _dopri5_odeint)
         aug_out = odeint(aug_dynamics, aug0, aug_ts, method=method, rtol=rtol,
                          atol=atol, max_steps=max_steps,
-                         scan_budget=scan_budget,
+                         scan_budget=None if scan_budget is None
+                         else 2 * scan_budget,
                          matmul_precision=matmul_precision)
         _, y_bar_new, args_bar_new = jax.tree_util.tree_map(
             lambda x: x[1], aug_out)

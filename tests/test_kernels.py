@@ -133,21 +133,35 @@ class TestMaskGradient:
         assert float(jnp.abs(gr).max()) > 1e-3  # the oracle grad is nonzero
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5)
 
-    def test_positive_mask_clamped_with_zero_gradient(self, rng):
-        """Positive mask entries are clamped to 0 (documented {<=0} contract)
-        and carry zero cotangent through the clamp."""
+    def test_positive_mask_handled_exactly(self, rng):
+        """Positive mask entries are canonicalized by a softmax-invariant
+        per-row shift (MASK CONTRACT), so arbitrary finite biases — positive
+        included — match the dense max-subtracted softmax exactly instead of
+        being clamped away."""
         q = jnp.asarray(rng.standard_normal((1, 4, 8)), jnp.float32)
         k = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
         v = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
-        pos = jnp.full((1, 4, 5), 3.0, jnp.float32)
+        # non-uniform positive/zero pattern: actually reweights the softmax
+        bias = jnp.where(jnp.arange(5) % 2 == 0, 3.0, 0.0) * \
+            jnp.ones((1, 4, 5), jnp.float32)
 
-        out = fused_geodesic_attention(q, k, v, mask=pos, interpret=True)
-        ref = ref_attention(q, k, v, mask=jnp.zeros_like(pos))
+        out = fused_geodesic_attention(q, k, v, mask=bias, interpret=True)
+        ref = ref_attention(q, k, v, mask=bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-5)
+        # a UNIFORM bias (positive or hugely negative) is a softmax no-op
+        for shift in (3.0, -100.0):
+            out_u = fused_geodesic_attention(
+                q, k, v, mask=jnp.full((1, 4, 5), shift), interpret=True)
+            ref_u = ref_attention(q, k, v)
+            np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u),
+                                       atol=5e-5)
+        # gradients into the mask are finite and match the dense oracle
         g = jax.grad(lambda m: jnp.sum(fused_geodesic_attention(
-            q, k, v, mask=m, interpret=True) ** 2))(pos)
-        assert float(jnp.abs(g).max()) == 0.0
+            q, k, v, mask=m, interpret=True) ** 2))(bias)
+        gr = jax.grad(lambda m: jnp.sum(
+            ref_attention(q, k, v, mask=m) ** 2))(bias)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=5e-5)
 
 
 class TestFlash:

@@ -187,3 +187,112 @@ class TestSecondReviewFixes:
                                     max_train_agent=150)
         assert float(batch.valid.sum()) == 150
         assert batch.agent_num == 256
+
+
+class TestRound4ReviewFixes:
+    """Regression tests for the round-4 self-review findings."""
+
+    def test_dopri5_scan_budget_grad_constant_field(self):
+        """A constant vector field makes _initial_step's probe diff exactly
+        zero; the unguarded sqrt(0) there poisoned every gradient of the
+        direct reverse-mode (scan_budget) solve with NaN."""
+        from sttode_tpu.ode.solvers import odeint
+
+        def f(t, y):
+            return jnp.ones_like(y)
+
+        g = jax.grad(lambda y0: jnp.sum(
+            odeint(f, y0, jnp.array([0.0, 1.0]), method="dopri5",
+                   scan_budget=16)[-1]))(jnp.array([0.5, 0.5]))
+        np.testing.assert_allclose(np.asarray(g), [1.0, 1.0], atol=1e-5)
+
+    def test_dopri5_scan_budget_exhaustion_warns(self, capfd):
+        """Budget exhaustion is loud (jax.debug.print from inside the jitted
+        solve), not a silent mid-interval truncation."""
+        from sttode_tpu.ode.solvers import odeint
+
+        def f(t, y):
+            return -50.0 * y          # stiff enough that 2 attempts cannot
+
+        ys = odeint(f, jnp.ones((2,)), jnp.array([0.0, 1.0]),
+                    method="dopri5", scan_budget=2)
+        jax.block_until_ready(ys)
+        out = capfd.readouterr()
+        assert "scan_budget=2 exhausted" in out.out + out.err
+
+    def test_adjoint_backward_scan_budget_doubled(self):
+        """odeint_adjoint's backward integrates the larger augmented system;
+        a forward-sized budget must not silently truncate gradients — grads
+        of a simple linear field stay close to analytic."""
+        from sttode_tpu.ode.solvers import odeint_adjoint
+
+        def f(t, y):
+            return 0.5 * y
+
+        def loss(y0):
+            ys = odeint_adjoint(f, y0, jnp.array([0.0, 1.0]),
+                                method="dopri5", rtol=1e-6, atol=1e-8,
+                                scan_budget=48)
+            return jnp.sum(ys[-1])
+
+        g = jax.grad(loss)(jnp.array([1.0, 2.0]))
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.full(2, np.exp(0.5)), rtol=1e-3)
+
+    def test_fused_mask_uniform_shift_is_softmax_noop(self, rng):
+        """A uniform -100 additive mask is a softmax no-op; the maxless
+        kernel previously flushed every lane to exact 0."""
+        from sttode_tpu.kernels.mhgsa import fused_geodesic_attention
+
+        q = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        out0 = fused_geodesic_attention(q, k, v)
+        out = fused_geodesic_attention(
+            q, k, v, mask=jnp.full((2, 8, 8), -100.0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out0),
+                                   atol=1e-5)
+
+    def test_fused_mask_positive_bias_matches_dense(self, rng):
+        """Positive additive biases are handled exactly (row-max shift), so
+        the fused route agrees with the dense max-subtracted softmax instead
+        of silently clamping the bias to 0."""
+        from sttode_tpu.kernels.mhgsa import fused_geodesic_attention
+
+        HI = jax.lax.Precision.HIGHEST
+        q = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        mask = jnp.where(jnp.arange(8) % 2 == 0, 2.0, 0.0) * \
+            jnp.ones((2, 8, 8))
+
+        qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        kn = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+        s = -jnp.arccos(jnp.clip(
+            jnp.einsum("bld,bsd->bls", qn, kn, precision=HI),
+            -1 + 1e-4, 1 - 1e-4)) + mask
+        dense = jnp.einsum("bls,bsd->bld", jax.nn.softmax(s, axis=-1), v,
+                           precision=HI)
+        out = fused_geodesic_attention(q, k, v, mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   atol=1e-5)
+        # all-masked-row semantics preserved: sentinel rows still output 0
+        m_all = jnp.full((2, 8, 8), -1e30)
+        out_z = fused_geodesic_attention(q, k, v, mask=m_all)
+        assert float(jnp.max(jnp.abs(out_z))) == 0.0
+        # gradients into a differentiable mask stay finite
+        g = jax.grad(lambda m: jnp.sum(
+            fused_geodesic_attention(q, k, v, mask=m)))(mask)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_cli_distributed_without_coordinator_fails_fast(self, monkeypatch,
+                                                            tmp_path):
+        """--distributed with no coordinator env must exit, not quietly train
+        standalone (duplicated work racing the shared checkpoint dir)."""
+        from sttode_tpu.cli import train as train_cli
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        with pytest.raises(SystemExit, match="no coordinator"):
+            train_cli.main(["--dataset", "eth", "--distributed",
+                            "--data_root", str(tmp_path)])
