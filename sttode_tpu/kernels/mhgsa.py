@@ -44,18 +44,22 @@ NEG_INF = -1e30
 
 # The kernels run a MAXLESS softmax (no running-max pass): valid because the
 # geodesic scores are clamp-bounded above by 0 and below by a static constant
-# (oblique ∈ [-π, 0]; poincaré ≥ -(2/√c)·artanh(1-1e-5) = -12.21/√c). That
-# bound must stay above fp32 exp underflow (~-87; -80 with margin) or every
-# lane of a valid row flushes to 0 and the row returns zeros instead of a
-# softmax. 12.21/√c ≤ 80 ⇔ c ≥ 0.0233; enforced with margin here. Callers
-# wanting extreme negative curvature route to the jnp/XLA dense path, which
-# keeps the classic max-subtracted softmax. Additive masks cannot break the
-# bound: _canonicalize_mask row-max-shifts finite entries, so each row's
-# BEST lane enters exp with mask contribution 0 — i.e. at its raw score,
-# which the curvature guard keeps above underflow — and that lane alone
-# keeps the row's denominator alive no matter how negative the other
-# (clipped, ≈1e-13-weight) lanes go.
-MIN_MAXLESS_CURVATURE = 0.024
+# (oblique ∈ [-π, 0]; poincaré ≥ -(2/√c)·artanh(1-1e-5) = -12.21/√c). The
+# OPERATIVE bound is not fp32 exp underflow (~-87) but the kernels' 1e-30
+# softmax-denominator floor (the all-masked-row guard): a row whose every
+# valid lane sits near the score bound has denominator ≈ S·e^{-12.21/√c},
+# and once that drops under the floor the weights stop summing to 1 and the
+# output silently shrinks (measured 26× too small at c=0.025 with all keys
+# at the artanh clamp). Require e^{-12.21/√c} ≥ 1e-30 ⇔ 12.21/√c ≤ 69.08
+# ⇔ c ≥ 0.03124; enforced with margin here. Callers wanting more extreme
+# negative curvature route to the jnp/XLA dense path, which keeps the
+# classic max-subtracted softmax. Additive masks cannot break the bound:
+# _canonicalize_mask row-max-shifts finite entries, so each row's BEST lane
+# enters exp with mask contribution 0 — i.e. at its raw score, which the
+# curvature guard keeps above the floor — and that lane alone keeps the
+# row's denominator alive no matter how negative the other (floored,
+# ≈1e-13-weight) lanes go.
+MIN_MAXLESS_CURVATURE = 0.032
 
 
 def _canonicalize_mask(m: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +93,7 @@ def _check_maxless_bounds(metric: str, curvature: float) -> None:
             f"Pallas MHGSA kernels require curvature >= "
             f"{MIN_MAXLESS_CURVATURE} for metric='poincare': their maxless "
             f"softmax relies on the score lower bound -12.21/sqrt(c) staying "
-            f"above fp32 exp underflow (got c={curvature}). Use the dense "
+            f"above the 1e-30 denominator floor (got c={curvature}). Use the dense "
             f"route (fused=False / attn_impl='dense') for smaller curvature.")
 
 _LANE = 128

@@ -55,10 +55,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sttode_tpu.kernels.mhgsa import (EPS, NORM_FLOOR, _acos, _dot,
-                                      _round_up)
-
-_SUBLANE = 8
+from sttode_tpu.kernels.mhgsa import (EPS, NORM_FLOOR, _SUBLANE, _acos,
+                                      _dot, _round_up)
 
 
 class _Structural:

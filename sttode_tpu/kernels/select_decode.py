@@ -251,6 +251,22 @@ def _select_kernel(pf_ref, z_ref, state0_ref, xt_ref, fut_ref,
             out_ref[kb] = pred
 
 
+def _default_m_tile(M: int, dtype) -> int:
+    """Waste-aware default scene tile.
+
+    The dtype-aware CAP comes from Mosaic's scoped-VMEM stack: measured
+    17.31 MB at fp32/512 (over the 16 MB limit — compile OOM), fits at
+    fp32/256 and bf16/512. But ``round_up(M, cap)`` alone pads the scene
+    axis up to ~2× (M = cap+8 would decode 2·cap rows) and this kernel IS
+    the step's dominant component — so spread M over the minimal tile count
+    at the cap, then shrink the tile to just cover it: padding drops to
+    < one 8-row sublane group per tile. Perf-safe: the round-4 tile sweep
+    (128/256/384/512) measured ±1% (BENCHMARKS.md round-4 notes)."""
+    cap = 512 if dtype == jnp.bfloat16 else 256
+    n_tiles = -(-M // cap)
+    return min(cap, max(128, _round_up(-(-M // n_tiles), 8)))
+
+
 def select_decode(params: dict, past_feature: jnp.ndarray, z_km: jnp.ndarray,
                   state0: jnp.ndarray, x_true_flat: jnp.ndarray,
                   future_rel_flat: jnp.ndarray,
@@ -268,18 +284,21 @@ def select_decode(params: dict, past_feature: jnp.ndarray, z_km: jnp.ndarray,
     trajectories [K, M, 2·T_f] fp32 (mode="traj" — caller re-adds
     cur_location).
     """
-    assert mode in ("dist", "traj")
+    # not asserts: under python -O an assert vanishes and a K % k_block
+    # mismatch would silently truncate the grid's K axis (uninitialized
+    # output rows feeding the argmin)
+    if mode not in ("dist", "traj"):
+        raise ValueError(f"mode must be 'dist' or 'traj', got {mode!r}")
     M, d2 = past_feature.shape
     K, _, zw = z_km.shape
+    if K % k_block != 0:
+        raise ValueError(f"K ({K}) must be divisible by k_block ({k_block})")
     t_fut2 = future_rel_flat.shape[1]
     t_past = x_true_flat.shape[1] // 2
     weights = prep_select_weights(params, d2, zw, t_past, dtype)
 
     if m_tile is None:
-        # dtype-aware default: Mosaic's scoped-VMEM stack measured 17.31 MB
-        # at fp32/512 (over the 16 MB limit — compile OOM) and fits at
-        # fp32/256 and bf16/512
-        m_tile = 512 if dtype == jnp.bfloat16 else 256
+        m_tile = _default_m_tile(M, dtype)
     m_tile = min(m_tile, _round_up(M, 16))
     mp = _round_up(M, m_tile)
 

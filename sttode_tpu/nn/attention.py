@@ -156,10 +156,21 @@ def _kernel_route(q, k, mask, kv_valid, dropout_active: bool,
       column predicate). For contexts that outgrow one chip entirely, the
       ring/sequence-parallel path is the tool.
     """
-    if fused is True:
-        return "fused"
-    if fused in ("flash", "packed"):
-        return fused
+    if fused is True or fused in ("flash", "packed"):
+        route = "fused" if fused is True else fused
+        # forced routes get the same loud guards the auto route enforces by
+        # exclusion — the kernels implement neither attention dropout nor
+        # (for packed) the poincaré metric, and silently diverging from the
+        # dense route is exactly what the ring/ulysses ValueErrors forbid
+        if dropout_active:
+            raise ValueError(
+                f"attn_impl='{route}' does not implement attention dropout; "
+                "set dropout=0 (the reference default) or use a dense route")
+        if route == "packed" and metric != "oblique":
+            raise ValueError(
+                "the packed kernel implements the oblique metric only; use "
+                "fused/flash/dense for metric='poincare'")
+        return route
     if fused != "auto" or dropout_active or need_weights:
         return None
     if jax.default_backend() != "tpu":
@@ -305,11 +316,14 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         return out.reshape(*lead, L, Dh), None
     square = q.shape[-2] == k.shape[-2]
     swapped = compat == "reference" and square
-    if kv_valid is not None and mask is None and swapped:
+    if kv_valid is not None and swapped:
         # under the Q3 swapped orientation "key validity" would mark the
         # wrong axis inside the swapped kernels — express it as an additive
-        # mask on the unswapped scores instead (dense/fused path)
-        mask = _kv_valid_mask(kv_valid, q)
+        # mask on the unswapped scores instead (dense/fused path); when an
+        # additive mask is ALSO present the two merge (dropping either
+        # silently would attend to padding)
+        kvm = _kv_valid_mask(kv_valid, q)
+        mask = kvm if mask is None else mask + kvm
         kv_valid = None
     route = _kernel_route(q, k, mask, kv_valid, dropout_active, need_weights,
                           fused, metric, curvature)
@@ -349,15 +363,19 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                                            metric=metric,
                                            curvature=curvature)
         else:
-            if kv_valid is not None and mask is None:
-                mask = _kv_valid_mask(kv_valid, qq)
+            if kv_valid is not None:
+                # merge with any additive mask — dropping kv_valid when both
+                # are passed would silently attend to padded keys
+                kvm = _kv_valid_mask(kv_valid, qq)
+                mask = kvm if mask is None else mask + kvm
             out = fused_geodesic_attention(qq, kk, v, mask=mask,
                                            metric=metric,
                                            curvature=curvature)
         return out, None
 
-    if kv_valid is not None and mask is None:
-        mask = _kv_valid_mask(kv_valid, q)
+    if kv_valid is not None:
+        kvm = _kv_valid_mask(kv_valid, q)
+        mask = kvm if mask is None else mask + kvm
 
     scores = geodesic_scores(q, k, compat=compat, metric=metric,
                              curvature=curvature)

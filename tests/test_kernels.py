@@ -459,16 +459,18 @@ class TestPoincareFlashKernel:
 
 class TestMaxlessSoftmaxContract:
     """The kernels' maxless softmax is valid only within its documented
-    bounds (ADVICE r3): masks must be non-positive additive biases, and the
-    poincaré score lower bound -12.21/√c must stay above fp32 exp underflow.
-    Violations are clamped (mask) or rejected loudly (curvature)."""
+    bounds (ADVICE r3 + round-4 review): masks are canonicalized by a
+    softmax-invariant row shift (so any uniform bias is a no-op), and the
+    poincaré score lower bound -12.21/√c must stay above the 1e-30
+    denominator floor. Curvature violations are rejected loudly."""
 
     def test_positive_mask_clamped_to_zero(self, rng):
         q = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
         k = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
         v = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
-        # a huge positive bias would overflow exp() in the maxless kernel;
-        # the contract clamps it to 0, i.e. the zero-mask program
+        # a huge positive UNIFORM bias is a softmax no-op; canonicalization
+        # row-shifts it away, so this equals the zero-mask program (and exp
+        # can never overflow in the maxless kernel)
         hot = jnp.full((2, 8, 8), 500.0)
         out_hot = fused_geodesic_attention(q, k, v, mask=hot, interpret=True)
         out_zero = fused_geodesic_attention(q, k, v, interpret=True)

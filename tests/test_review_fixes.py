@@ -296,3 +296,98 @@ class TestRound4ReviewFixes:
         with pytest.raises(SystemExit, match="no coordinator"):
             train_cli.main(["--dataset", "eth", "--distributed",
                             "--data_root", str(tmp_path)])
+
+
+class TestKernelReviewFixes:
+    """Regression tests for the round-4 kernels-package review findings."""
+
+    def test_poincare_bound_covers_denominator_floor(self, rng):
+        """c in [0.024, 0.0312) passed the old exp-underflow-derived bound
+        but broke the kernels' 1e-30 softmax-denominator floor (a saturated
+        row's weights stopped summing to 1 — outputs measured 26x too
+        small); the bound now covers the floor."""
+        from sttode_tpu.kernels.mhgsa import (MIN_MAXLESS_CURVATURE,
+                                              fused_geodesic_attention)
+
+        assert MIN_MAXLESS_CURVATURE >= (12.21 / 69.07) ** 2
+        q = jnp.asarray(rng.standard_normal((1, 8, 8)), jnp.float32)
+        with pytest.raises(ValueError, match="curvature"):
+            fused_geodesic_attention(q, q, q, metric="poincare",
+                                     curvature=0.025, interpret=True)
+
+    def test_kv_valid_merges_with_additive_mask(self, rng):
+        """kv_valid must not be dropped when an additive mask is also
+        passed — padded keys would silently receive attention weight."""
+        from sttode_tpu.nn.attention import geodesic_attention
+
+        q = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 6, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 6, 8)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((1, 5, 6)), jnp.float32)
+        kvv = jnp.array([[1.0, 1.0, 1.0, 1.0, 0.0, 0.0]])
+        _, w = geodesic_attention(q, k, v, mask=bias, kv_valid=kvv,
+                                  fused=False, need_weights=True)
+        assert float(jnp.max(jnp.abs(w[..., 4:]))) < 1e-12
+        # fused route agrees with the dense merge
+        from sttode_tpu.kernels.mhgsa import fused_geodesic_attention
+        out_d, _ = geodesic_attention(q, k, v, mask=bias, kv_valid=kvv,
+                                      fused=False)
+        out_f, _ = geodesic_attention(q, k, v, mask=bias, kv_valid=kvv,
+                                      fused=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                                   atol=2e-5)
+
+    def test_forced_packed_poincare_raises(self, rng):
+        """fused='packed' with metric='poincare' used to silently compute
+        OBLIQUE attention (the packed kernel has no poincaré path)."""
+        from sttode_tpu.nn.attention import geodesic_attention
+
+        q = jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32)
+        with pytest.raises(ValueError, match="oblique"):
+            geodesic_attention(q, q, q, fused="packed", metric="poincare")
+
+    def test_forced_kernel_route_dropout_raises(self, rng):
+        """Forced Pallas routes have no attention dropout; silently skipping
+        it diverges training from the dense route — raise like ring/ulysses
+        do."""
+        from sttode_tpu.nn.attention import geodesic_attention
+
+        q = jnp.asarray(rng.standard_normal((1, 4, 8)), jnp.float32)
+        for route in (True, "flash", "packed"):
+            with pytest.raises(ValueError, match="dropout"):
+                geodesic_attention(q, q, q, fused=route, dropout_rate=0.1,
+                                   deterministic=False,
+                                   dropout_key=jax.random.PRNGKey(0))
+
+    def test_select_decode_k_block_validated(self, rng):
+        """K % k_block mismatches raise (an assert would vanish under
+        python -O and silently truncate the K grid axis)."""
+        from sttode_tpu.kernels import select_decode as sd
+
+        with pytest.raises(ValueError, match="k_block"):
+            sd.select_decode({}, jnp.zeros((4, 8)), jnp.zeros((20, 4, 4)),
+                             jnp.zeros((4, 96)), jnp.zeros((4, 10)),
+                             jnp.zeros((4, 20)), k_block=3)
+        with pytest.raises(ValueError, match="mode"):
+            sd.select_decode({}, jnp.zeros((4, 8)), jnp.zeros((20, 4, 4)),
+                             jnp.zeros((4, 96)), jnp.zeros((4, 10)),
+                             jnp.zeros((4, 20)), mode="nope")
+
+    def test_select_decode_default_tile_bounds_padding(self):
+        """The default scene tile spreads M over the minimal tile count and
+        shrinks to cover it: padding stays under one 8-row group per tile
+        instead of up to ~2x the scene axis."""
+        from sttode_tpu.kernels.select_decode import (_default_m_tile,
+                                                      _round_up)
+
+        for M in (520, 600, 28160, 112640, 300, 1025):
+            for dt in (jnp.bfloat16, jnp.float32):
+                cap = 512 if dt == jnp.bfloat16 else 256
+                t = _default_m_tile(M, dt)
+                assert 128 <= t <= cap
+                n_tiles = -(-M // t)
+                waste = _round_up(M, t) - M
+                assert waste < 8 * n_tiles, (M, dt, t, waste)
+        # production row counts keep their measured tile exactly
+        assert _default_m_tile(28160, jnp.bfloat16) == 512
+        assert _default_m_tile(112640, jnp.bfloat16) == 512
