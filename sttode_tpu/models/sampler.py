@@ -143,7 +143,14 @@ def sampler_kld(sampler_dist: DiagNormal, vae_dist: DiagNormal,
     if valid is not None:
         K = kl.shape[0] // valid.shape[0]
         kl = kl * jnp.repeat(valid, K, axis=0)[:, None]
-    loss_uw = jnp.maximum(jnp.sum(kl) / agent_num, min_clip)
+        # normalize by the REAL agent count: the reference's /N
+        # (samplerloss.py:4-9) counts real agents (it never pads), so on
+        # padded batches a padded denominator would deflate the term and
+        # hit the min_clip floor early (zero KL gradient)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+    else:
+        denom = agent_num
+    loss_uw = jnp.maximum(jnp.sum(kl) / denom, min_clip)
     return weight * loss_uw, loss_uw
 
 
@@ -160,7 +167,10 @@ def sampler_diversity(dec_motion: jnp.ndarray, agent_num: int, weight: float,
         K * (K - 1))
     if valid is not None:
         per_agent = per_agent * valid
-    loss_uw = jnp.sum(per_agent) / agent_num
+        denom = jnp.maximum(jnp.sum(valid), 1.0)   # real agents, not padded
+    else:
+        denom = agent_num
+    loss_uw = jnp.sum(per_agent) / denom
     return weight * loss_uw, loss_uw
 
 

@@ -394,10 +394,19 @@ def encode_future(params: dict, cfg: STTODEConfig, batch: Batch,
                   mesh=None) -> DiagNormal:
     """Posterior q(z|x,y) params (reference FutureEncoder.forward,
     model/STTODE.py:276-301)."""
-    fut_feat = _encode_trunk(params["future_encoder"], cfg,
-                             batch.inputs_for_posterior, batch.batch_size,
-                             batch.agent_num, batch.valid, rng=rng, train=train,
+    def trunk(p, inputs, valid):
+        return _encode_trunk(p, cfg, inputs, batch.batch_size,
+                             batch.agent_num, valid, rng=rng, train=train,
                              mesh=mesh)
+
+    if cfg.remat:
+        # same remat policy as encode_past: without this the future trunk
+        # (the LARGER of the two — future_length > past_length) stored all
+        # its activations and roughly half the documented memory saving
+        # never materialized
+        trunk = jax.checkpoint(trunk)
+    fut_feat = trunk(params["future_encoder"],
+                     batch.inputs_for_posterior, batch.valid)
     h = jnp.concatenate([past_feature, fut_feat], axis=-1)
     h = core.mlp(params["out_mlp"], h, activation="relu", activate_final=True)
     qz_params = core.dense(params["qz_layer"], h)
@@ -579,14 +588,26 @@ def loss_pred(pred, target, batch_size, valid=None):
     return jnp.sum(se) / batch_size / pred.shape[1]
 
 
+def _masked_mean(per_agent, valid):
+    """Mean of a per-agent [M] quantity over the REAL agents: padded batches
+    match unpadded numerics (the reference never pads, so its divisions by
+    B·N always count real agents)."""
+    if valid is not None:
+        return jnp.sum(per_agent * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.mean(per_agent)
+
+
 def loss_kl(qz: DiagNormal, pz: DiagNormal, batch_size, agent_num, min_clip,
             valid=None):
-    """Σ KL / (B·N), floored at min_clip. The floor uses max(), reproducing the
-    gradient semantics of the reference's in-place clamp_min_ (quirk Q5):
-    zero gradient when the unclamped loss is below the floor."""
-    kl = qz.kl(pz)
+    """Σ KL / (real agent count), floored at min_clip. The floor uses max(),
+    reproducing the gradient semantics of the reference's in-place clamp_min_
+    (quirk Q5): zero gradient when the unclamped loss is below the floor.
+    The reference's B·N denominator (model/STTODE.py:378-382) counts real
+    agents (it never pads); on padded batches the denominator is Σvalid so
+    the term is not deflated by bucket padding."""
+    kl = jnp.sum(qz.kl(pz), axis=-1)                           # [M]
     if valid is not None:
-        kl = kl * valid[:, None]
+        return jnp.maximum(_masked_mean(kl, valid), min_clip)
     loss = jnp.sum(kl) / (batch_size * agent_num)
     return jnp.maximum(loss, min_clip)
 
@@ -597,9 +618,7 @@ def loss_diverse(pred_k, target, valid=None):
     diff = target[:, None] - pred_k
     dist = jnp.sum(jnp.square(diff), axis=(-1, -2))            # [M, K]
     best = jnp.min(dist, axis=1)                               # [M]
-    if valid is not None:
-        return jnp.sum(best * valid) / jnp.maximum(jnp.sum(valid), 1.0)
-    return jnp.mean(best)
+    return _masked_mean(best, valid)
 
 
 # --------------------------------------------------------------------------- #
@@ -758,10 +777,7 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         best_pred = out2[:, 1]
         recover_traj = rec2.reshape(M, 2, cfg.past_length, 2)[:, 0]
         best_se = jnp.sum(jnp.square(batch.future - best_pred), axis=(-1, -2))
-        if valid is not None:
-            l_div = jnp.sum(best_se * valid) / jnp.maximum(jnp.sum(valid), 1.0)
-        else:
-            l_div = jnp.mean(best_se)
+        l_div = _masked_mean(best_se, valid)
     else:
         diverse, _ = decode(params, cfg, past_feature_k, pz_sample, batch.past,
                             batch.cur_location, K, block0_state=state0)

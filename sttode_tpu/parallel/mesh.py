@@ -41,8 +41,16 @@ def make_mesh(dp: int | None = None, tp: int = 1, sp: int = 1,
     n = len(devices)
     if dp is None:
         dp = n // (tp * sp)
-    assert dp * tp * sp <= n, \
-        f"mesh {dp}x{sp}x{tp} needs {dp*tp*sp} devices, have {n}"
+    if dp < 1:
+        # dp computes to 0 when tp·sp exceeds the device count; without this
+        # the size check below would pass (0 <= n) and the zero-device mesh
+        # would crash much later inside jit with an opaque reshape error
+        raise ValueError(
+            f"tp·sp = {tp * sp} exceeds the {n} available devices "
+            f"(dp would be 0); shrink tp/sp or pass more devices")
+    if dp * tp * sp > n:
+        raise ValueError(
+            f"mesh {dp}x{sp}x{tp} needs {dp * tp * sp} devices, have {n}")
     if sp > 1:
         grid = np.asarray(devices[:dp * sp * tp]).reshape(dp, sp, tp)
         return Mesh(grid, axis_names=("data", "seq", "model"))

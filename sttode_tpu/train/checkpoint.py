@@ -72,7 +72,13 @@ def _get_async_ckptr() -> ocp.AsyncCheckpointer:
 
 def wait_for_saves() -> None:
     """Block until every in-flight ``background=True`` save has committed.
-    Call before reading a just-written checkpoint or at shutdown."""
+
+    NOTE: this only waits for the orbax commit — it does NOT write the
+    deferred config/extra sidecars, and a committed directory without its
+    sidecar is unloadable and eventually swept as an orphan. At shutdown or
+    before reading a just-written checkpoint, call :func:`flush_saves`
+    (wait + sidecars + deferred prunes) instead; this lower-level wait
+    exists for callers that only need the commit barrier mid-run."""
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
 

@@ -47,11 +47,18 @@ def riemannian_sgd(learning_rate: float, manifold_mask: Any,
             mask = mask(params)
 
         def one(is_manifold, g, p):
-            if is_manifold:
-                rgrad = manifold.egrad2rgrad(g, p)
-                target = manifold.retr(-learning_rate * rgrad, p)
-                return target - p
-            return -learning_rate * g
+            # mask may be a PREFIX of the params tree: tree_map with the
+            # mask first pairs each mask leaf with whole g/p SUBTREES, so
+            # apply the per-leaf rule through an inner tree_map (a no-op
+            # wrapper when g/p are already arrays)
+            def leaf(gg, pp):
+                if is_manifold:
+                    rgrad = manifold.egrad2rgrad(gg, pp)
+                    target = manifold.retr(-learning_rate * rgrad, pp)
+                    return target - pp
+                return -learning_rate * gg
+
+            return jax.tree_util.tree_map(leaf, g, p)
 
         updates = jax.tree_util.tree_map(one, mask, updates, params)
         return updates, state
@@ -62,7 +69,10 @@ def riemannian_sgd(learning_rate: float, manifold_mask: Any,
 def project_to_manifold(params: Any, manifold_mask: Any,
                         manifold=oblique) -> Any:
     """Project marked leaves onto the manifold (init-time normalization —
-    ManifoldParameter's invariant that points stay on-manifold)."""
+    ManifoldParameter's invariant that points stay on-manifold). The mask
+    may be a prefix of the params tree (see riemannian_sgd)."""
     mask = manifold_mask(params) if callable(manifold_mask) else manifold_mask
     return jax.tree_util.tree_map(
-        lambda m, p: manifold.proj(p) if m else p, mask, params)
+        lambda m, p: jax.tree_util.tree_map(
+            manifold.proj if m else (lambda x: x), p),
+        mask, params)

@@ -391,3 +391,112 @@ class TestKernelReviewFixes:
         # production row counts keep their measured tile exactly
         assert _default_m_tile(28160, jnp.bfloat16) == 512
         assert _default_m_tile(112640, jnp.bfloat16) == 512
+
+
+class TestModelTrainParallelReviewFixes:
+    """Regression tests for the round-4 models/train/parallel review."""
+
+    def test_loss_kl_padded_matches_unpadded(self, rng):
+        """loss_kl on 5-valid-of-8 padded rows must equal the same 5 rows
+        unpadded — the old padded denominator (B·N_pad) deflated the term
+        and crossed the min_clip floor early (zero KL gradient)."""
+        from sttode_tpu.models.sttode import loss_kl
+        from sttode_tpu.utils.distributions import DiagNormal
+
+        mu = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+        lv = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32) * 0.1
+        qz = DiagNormal(mu, lv)
+        pz = DiagNormal(jnp.zeros_like(mu), jnp.zeros_like(lv))
+        valid = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+
+        padded = loss_kl(qz, pz, 1, 8, min_clip=0.0, valid=valid)
+        unpadded = loss_kl(DiagNormal(mu[:5], lv[:5]),
+                           DiagNormal(mu[:5] * 0, lv[:5] * 0),
+                           1, 5, min_clip=0.0)
+        np.testing.assert_allclose(float(padded), float(unpadded), rtol=1e-6)
+
+    def test_sampler_losses_padded_match_unpadded(self, rng):
+        """Stage-2 KLD + diversity must normalize by the REAL agent count,
+        not the padded one."""
+        from sttode_tpu.models.sampler import sampler_diversity, sampler_kld
+        from sttode_tpu.utils.distributions import DiagNormal
+
+        M, K, T = 6, 4, 5
+        valid = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+        mu = jnp.asarray(rng.standard_normal((M * K, 3)), jnp.float32)
+        lv = jnp.asarray(rng.standard_normal((M * K, 3)), jnp.float32) * 0.1
+        sd = DiagNormal(mu, lv)
+        vd = DiagNormal(jnp.zeros_like(mu), jnp.zeros_like(lv))
+
+        _, kld_pad = sampler_kld(sd, vd, M, 0.0, 1.0, valid)
+        keep = jnp.repeat(valid, K).astype(bool)
+        sd4 = DiagNormal(mu[keep], lv[keep])
+        vd4 = DiagNormal(mu[keep] * 0, lv[keep] * 0)
+        _, kld_ref = sampler_kld(sd4, vd4, 4, 0.0, 1.0)
+        np.testing.assert_allclose(float(kld_pad), float(kld_ref), rtol=1e-6)
+
+        dec = jnp.asarray(rng.standard_normal((M, K, T, 2)), jnp.float32)
+        _, div_pad = sampler_diversity(dec, M, 1.0, 1.0, valid)
+        _, div_ref = sampler_diversity(dec[:4], 4, 1.0, 1.0)
+        np.testing.assert_allclose(float(div_pad), float(div_ref), rtol=1e-6)
+
+    def test_riemannian_prefix_mask(self, rng):
+        """The documented 'pytree (or prefix)' mask form must work: a prefix
+        mask pairs mask leaves with whole param subtrees."""
+        import optax
+        from sttode_tpu.train.riemannian import (project_to_manifold,
+                                                 riemannian_sgd)
+
+        params = {"enc": {"w": jnp.asarray(rng.standard_normal((4, 3)),
+                                           jnp.float32),
+                          "b": jnp.asarray(rng.standard_normal((4, 3)),
+                                           jnp.float32)},
+                  "head": {"w": jnp.asarray(rng.standard_normal((2, 3)),
+                                            jnp.float32)}}
+        mask = {"enc": True, "head": False}          # PREFIX of params
+        params = project_to_manifold(params, mask)
+        norms = jnp.linalg.norm(params["enc"]["w"], axis=-1)
+        np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-6)
+
+        opt = riemannian_sgd(1e-2, manifold_mask=mask)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, opt.init(params), params)
+        new = optax.apply_updates(params, updates)
+        # manifold leaves stay on the sphere; euclidean leaf moved additively
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(new["enc"]["w"], axis=-1)), 1.0,
+            atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new["head"]["w"]),
+                                   np.asarray(params["head"]["w"] - 1e-2),
+                                   atol=1e-7)
+
+    def test_make_mesh_rejects_oversized_tp(self):
+        """tp·sp > device count must raise immediately, not build a
+        zero-device mesh that crashes later inside jit."""
+        from sttode_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        with pytest.raises(ValueError, match="exceeds"):
+            make_mesh(tp=2 * n)
+
+    def test_remat_covers_future_encoder(self, rng):
+        """cfg.remat must checkpoint BOTH encoder trunks; forward/backward
+        numerics are unchanged by remat."""
+        from tests.test_model import make_batch, tiny_cfg
+
+        cfg = tiny_cfg().validate()
+        cfg_r = tiny_cfg(remat=True).validate()
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(1)
+
+        def loss(c):
+            return lambda p: sttode_forward(p, c, batch, key).total_loss
+
+        l0, g0 = jax.value_and_grad(loss(cfg))(params)
+        l1, g1 = jax.value_and_grad(loss(cfg_r))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
