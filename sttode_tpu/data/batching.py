@@ -14,7 +14,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
-from sttode_tpu.data.preprocess import prepare_scene, stack_scenes
+from sttode_tpu.data.preprocess import prepare_scene_group
 from sttode_tpu.models.sttode import Batch
 
 DEFAULT_BUCKETS = (8, 16, 32, 64, 128)
@@ -35,8 +35,6 @@ def _emit_group(group: list[dict], bucket: int, *, training: bool,
                 rng, rand_rot: bool, compat: str = "tpu"):
     """Stack raw scenes of one bucket and run the vectorized preparation
     (one numpy pass for origin/rotation/velocities — the host hot path)."""
-    from sttode_tpu.data.preprocess import prepare_scene_group
-
     B = len(group)
     obs = np.zeros((B, bucket) + group[0]["obs"].shape[1:], np.float32)
     pred = np.zeros((B, bucket) + group[0]["pred"].shape[1:], np.float32)

@@ -56,11 +56,13 @@ def _file_scenes(data: np.ndarray, obs_len: int, pred_len: int, skip: int,
         for ped in np.unique(window_rows[:, 1]):
             ped_rows = np.around(window_rows[window_rows[:, 1] == ped],
                                  decimals=4)
-            # full contiguous coverage: first..last frame spans the window AND
-            # no interior gaps (one row per frame)
-            first = np.searchsorted(window_frames, ped_rows[0, 0])
-            last = np.searchsorted(window_frames, ped_rows[-1, 0])
-            if last - first + 1 != seq_len or len(ped_rows) != seq_len:
+            # full contiguous coverage: EXACTLY one row per window frame.
+            # Span+count alone is not enough — a duplicated row in one frame
+            # paired with a missing interior frame passes both and would
+            # stack a time-misaligned trajectory (one position doubled, the
+            # tail shifted a frame) into training silently.
+            if len(ped_rows) != seq_len or \
+                    not np.array_equal(ped_rows[:, 0], window_frames):
                 continue
             xy = ped_rows[:, 2:4] / traj_scale            # [seq_len, 2]
             kept_xy.append(xy)

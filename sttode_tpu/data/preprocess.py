@@ -55,6 +55,16 @@ def prepare_scene(scene: dict, *, training: bool,
     pred = np.asarray(scene["pred"], np.float32)     # [N, T_f, 2]
     N = obs.shape[0]
 
+    if training and rng is None and (N > max_train_agent or rand_rot):
+        # loud, not silent: dropping the subsample/augmentation would change
+        # training statistics vs the reference recipe (same contract as
+        # scene_batches, which enforces this for the batched path)
+        raise ValueError(
+            "prepare_scene(training=True) needs an rng for agent "
+            "subsampling / rotation augmentation; pass "
+            "rng=np.random.default_rng(seed), or rand_rot=False with "
+            f"N <= max_train_agent (got N={N}, max={max_train_agent})")
+
     if training and rng is not None and N > max_train_agent:
         idx = rng.choice(N, max_train_agent)          # with replacement (Q6)
         obs, pred = obs[idx], pred[idx]

@@ -130,19 +130,19 @@ void process(const double* rows, int64_t n_rows, int obs_len, int pred_len,
         SceneScratch scratch;
         for (auto& kv : per_ped) {
             auto& entries = kv.second;
-            // full contiguous coverage: first at window start, spans seq_len
-            // (frames are per-window slices so count == seq_len iff covered,
-            // matching the reference's index-span check)
-            auto lo = std::lower_bound(idx.frames.begin() + start,
-                                       idx.frames.begin() + start + seq_len,
-                                       entries.front()[0]) -
-                      (idx.frames.begin() + start);
-            auto hi = std::lower_bound(idx.frames.begin() + start,
-                                       idx.frames.begin() + start + seq_len,
-                                       entries.back()[0]) -
-                      (idx.frames.begin() + start);
-            if (hi - lo + 1 != seq_len ||
-                (int64_t)entries.size() != seq_len) continue;
+            // full contiguous coverage: EXACTLY one row per window frame
+            // (span+count alone would accept a duplicated row paired with a
+            // missing interior frame and emit a time-misaligned trajectory;
+            // matches the python backend's exact per-frame check)
+            if ((int64_t)entries.size() != seq_len) continue;
+            bool exact = true;
+            for (int i = 0; i < seq_len; ++i) {
+                if (entries[i][0] != idx.frames[start + i]) {
+                    exact = false;
+                    break;
+                }
+            }
+            if (!exact) continue;
             std::vector<double> xs(seq_len), ys(seq_len);
             for (int i = 0; i < seq_len; ++i) {
                 xs[i] = round4(entries[i][1]) / traj_scale;

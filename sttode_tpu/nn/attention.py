@@ -316,6 +316,7 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         return out.reshape(*lead, L, Dh), None
     square = q.shape[-2] == k.shape[-2]
     swapped = compat == "reference" and square
+    kv_as_mask = False
     if kv_valid is not None and swapped:
         # under the Q3 swapped orientation "key validity" would mark the
         # wrong axis inside the swapped kernels — express it as an additive
@@ -325,6 +326,12 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         kvm = _kv_valid_mask(kv_valid, q)
         mask = kvm if mask is None else mask + kvm
         kv_valid = None
+        kv_as_mask = True
+    _swapped_hint = (
+        " (note: compat='reference' square self-attention expresses kv_valid "
+        "as an additive mask internally — quirk Q3's swapped orientation — "
+        "so packed/flash cannot serve it; use fused=True/'auto' or "
+        "compat='tpu')") if kv_as_mask else ""
     route = _kernel_route(q, k, mask, kv_valid, dropout_active, need_weights,
                           fused, metric, curvature)
     if route is not None:
@@ -336,7 +343,8 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             if mask is not None:
                 raise ValueError(
                     "packed kernel supports key-validity masks only; pass "
-                    "kv_valid instead of an additive mask, or fused=False")
+                    "kv_valid instead of an additive mask, or fused=False"
+                    + _swapped_hint)
             # kv_valid carries no head axis (it is [batch..., S], shared by
             # the heads the kernel packs into lanes) — pass through as-is
             return packed_geodesic_attention(qq, kk, v,
@@ -347,7 +355,7 @@ def geodesic_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             raise ValueError(
                 "flash kernel supports key-validity masks only; pass "
                 "kv_valid instead of an additive mask, or use fused=True "
-                "(S ≤ ~2k) / fused=False")
+                "(S ≤ ~2k) / fused=False" + _swapped_hint)
         if metric == "poincare":
             # ball map outside the kernels: its autodiff stays in XLA, the
             # custom VJPs cover the Gram-closed-form score epilogue
@@ -432,22 +440,36 @@ def mhgsa(params: MHGSAParams, query: jnp.ndarray, key: jnp.ndarray,
         k = key @ wk + bk
         v = value @ wv + bv
 
-    def _append_position(k, v, mask, k_extra, v_extra):
+    def _append_position(k, v, mask, kv_valid, k_extra, v_extra):
         shape = (*k.shape[:-2], 1, k.shape[-1])
         k = jnp.concatenate([k, jnp.broadcast_to(k_extra, shape)], axis=-2)
         v = jnp.concatenate([v, jnp.broadcast_to(v_extra, shape)], axis=-2)
         if mask is not None:
             mask = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, 1)])
-        return k, v, mask
+        if kv_valid is not None:
+            # the appended bias/zero position is a real attendable key: mark
+            # it valid, or the validity mask stays one short of the scores
+            kv_valid = jnp.pad(
+                kv_valid, [(0, 0)] * (kv_valid.ndim - 1) + [(0, 1)],
+                constant_values=1.0)
+        return k, v, mask, kv_valid
 
     if bias_kv is not None:
-        k, v, mask = _append_position(k, v, mask, bias_kv[0], bias_kv[1])
+        k, v, mask, kv_valid = _append_position(k, v, mask, kv_valid,
+                                                bias_kv[0], bias_kv[1])
     if add_zero_attn:
         zero = jnp.zeros((k.shape[-1],), k.dtype)
-        k, v, mask = _append_position(k, v, mask, zero, zero)
+        k, v, mask, kv_valid = _append_position(k, v, mask, kv_valid,
+                                                zero, zero)
 
-    # Quirk Q10: forward no-op after row normalization; kept for grad parity.
-    q = q * (head_dim ** -0.5)
+    # Quirk Q10: forward no-op after row normalization (oblique metric only
+    # — the scale is erased by Oblique.proj); kept for grad parity. Under
+    # the poincaré metric it would NOT be a no-op: q would be pulled toward
+    # the ball origin before expmap0 while k is not, silently skewing the
+    # geodesic distances — so it applies only where the reference's
+    # normalization makes it inert (the reference ships oblique only).
+    if metric == "oblique":
+        q = q * (head_dim ** -0.5)
 
     qh = split_heads(q, num_heads)   # [..., H, L, Dh]
     kh = split_heads(k, num_heads)

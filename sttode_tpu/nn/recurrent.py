@@ -46,17 +46,24 @@ def gru_init(key, input_dim: int, hidden_dim: int, *, w_init=None,
     )
 
 
-def gru_cell(params: GRUParams, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """One GRU step. x: [..., D], h: [..., H] → new h."""
+def _gru_gates(gi: jnp.ndarray, gh: jnp.ndarray,
+               h: jnp.ndarray) -> jnp.ndarray:
+    """torch gate equations from the two fused projections — the ONE copy of
+    the gate math every GRU form (cell, hoisted scan, unhoisted scan) uses."""
     H = h.shape[-1]
-    gi = x @ params.w_ih + params.b_ih
-    gh = h @ params.w_hh + params.b_hh
     i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
     h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
     r = jax.nn.sigmoid(i_r + h_r)
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
     return (1.0 - z) * n + z * h
+
+
+def gru_cell(params: GRUParams, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """One GRU step. x: [..., D], h: [..., H] → new h."""
+    gi = x @ params.w_ih + params.b_ih
+    gh = h @ params.w_hh + params.b_hh
+    return _gru_gates(gi, gh, h)
 
 
 def gru(params: GRUParams, xs: jnp.ndarray,
@@ -89,12 +96,7 @@ def gru(params: GRUParams, xs: jnp.ndarray,
 
     def cell(h, gi):
         gh = h @ params.w_hh + params.b_hh
-        i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
-        h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gates(gi, gh, h)
         return h_new, h_new
 
     if hoist:
@@ -103,7 +105,8 @@ def gru(params: GRUParams, xs: jnp.ndarray,
                                    unroll=unroll)
     else:
         def step(h, x_t):
-            return cell(h, x_t @ params.w_ih + params.b_ih)
+            h_new = gru_cell(params, h, x_t)
+            return h_new, h_new
         h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1),
                                    unroll=unroll)
     return jnp.swapaxes(ys, 0, 1), h_final

@@ -210,7 +210,20 @@ def decoder_layer(params: DecoderLayerParams, tgt: jnp.ndarray,
                   tgt_mask=None, memory_mask=None, rng=None,
                   deterministic: bool = True):
     """Post-norm decoder layer: self-attn, cross-attn, FFN
-    (reference hypertransformer.py:207-236)."""
+    (reference hypertransformer.py:207-236).
+
+    ``cfg.attn_impl`` routes both attentions like the encoder's (it was
+    previously ignored here — 'fused' silently ran the default route). The
+    sequence-parallel impls are rejected: the decoder is capability parity
+    for a component the reference never instantiates and carries no mesh
+    plumbing. Returned weights are None on forced kernel routes (kernels
+    don't materialize the [L, S] weights)."""
+    if cfg.attn_impl in ("ring", "ulysses"):
+        raise ValueError(
+            f"decoder layers do not support attn_impl='{cfg.attn_impl}' "
+            "(no mesh plumbing on the decoder side); use "
+            "auto/dense/fused/flash/packed")
+    fused = _ATTN_IMPL_TO_FUSED[cfg.attn_impl]
     if rng is None:
         rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 6)
@@ -218,14 +231,14 @@ def decoder_layer(params: DecoderLayerParams, tgt: jnp.ndarray,
         params.self_attn, tgt, tgt, tgt, cfg.num_heads, mask=tgt_mask,
         dropout_rate=cfg.dropout, dropout_key=ks[0],
         deterministic=deterministic, compat=cfg.compat, need_weights=True,
-        metric=cfg.attn_metric, curvature=cfg.curvature)
+        fused=fused, metric=cfg.attn_metric, curvature=cfg.curvature)
     tgt = core.layer_norm(params.norm1,
                           tgt + core.dropout(ks[1], sa, cfg.dropout, deterministic))
     ca, cw = gated_attention(
         params.cross_attn, tgt, memory, memory, cfg.num_heads,
         mask=memory_mask, dropout_rate=cfg.dropout, dropout_key=ks[2],
         deterministic=deterministic, compat=cfg.compat, need_weights=True,
-        metric=cfg.attn_metric, curvature=cfg.curvature)
+        fused=fused, metric=cfg.attn_metric, curvature=cfg.curvature)
     tgt = core.layer_norm(params.norm2,
                           tgt + core.dropout(ks[3], ca, cfg.dropout, deterministic))
     ffn_out = _ffn(params.ffn, tgt, cfg, ks[4], deterministic)

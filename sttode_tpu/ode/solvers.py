@@ -335,18 +335,20 @@ def _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
     y0_expanded = jax.tree_util.tree_map(lambda x: x[None], y0)
     ys = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a, b], axis=0), y0_expanded, ys_tail)
-    if scan_budget is not None:
-        # exhaustion is otherwise SILENT (the state just stops advancing and
-        # the caller trains on a mid-interval truncation): warn loudly from
-        # inside the jitted program whether or not stats are requested
-        jax.lax.cond(
-            jnp.logical_not(jnp.all(done)),
-            lambda: jax.debug.print(
-                "WARNING sttode_tpu.ode: dopri5 scan_budget={b} exhausted "
-                "before reaching an interval end — the returned trajectory "
-                "(and any gradients through it) is truncated mid-interval; "
-                "raise scan_budget or loosen rtol/atol", b=scan_budget),
-            lambda: None)
+    # exhaustion is otherwise SILENT (the state just stops advancing and the
+    # caller trains on a mid-interval truncation): warn loudly from inside
+    # the jitted program whether or not stats are requested — for BOTH the
+    # scan-budget form and the while form's max_steps cap
+    budget = scan_budget if scan_budget is not None else max_steps
+    kind = "scan_budget" if scan_budget is not None else "max_steps"
+    jax.lax.cond(
+        jnp.logical_not(jnp.all(done)),
+        lambda: jax.debug.print(
+            "WARNING sttode_tpu.ode: dopri5 " + kind + "={b} exhausted "
+            "before reaching an interval end — the returned trajectory "
+            "(and any gradients through it) is truncated mid-interval; "
+            "raise " + kind + " or loosen rtol/atol", b=budget),
+        lambda: None)
     if not return_stats:
         return ys
     # RHS-eval count: 1 initial k1, and per interval 1 extra probe eval in

@@ -500,3 +500,128 @@ class TestModelTrainParallelReviewFixes:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestNnOdeDataReviewFixes:
+    """Regression tests for the round-4 nn/ode/data review findings."""
+
+    def test_bias_kv_with_kv_valid(self, rng):
+        """bias_kv/add_zero_attn + kv_valid crashed (the appended position
+        extended k/v and the mask but not the validity); the appended
+        position is a real attendable key and must be marked valid."""
+        from sttode_tpu.nn.attention import mhgsa, mhgsa_init
+
+        B, S, D, H = 2, 6, 8, 4
+        params = mhgsa_init(jax.random.PRNGKey(0), D)
+        x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        bias_k = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+        bias_v = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+        kvv = jnp.ones((B, S)).at[:, -2:].set(0.0)
+        out, _ = mhgsa(params, x, x, x, H, bias_kv=(bias_k, bias_v),
+                       kv_valid=kvv, compat="tpu")
+        assert out.shape == (B, S, D)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        out2, _ = mhgsa(params, x, x, x, H, add_zero_attn=True,
+                        kv_valid=kvv, compat="tpu")
+        assert bool(jnp.all(jnp.isfinite(out2)))
+
+    def test_poincare_skips_q10_scale(self, rng):
+        """Quirk Q10's q-scale is a no-op only under oblique row
+        normalization; under poincaré it pulled q toward the ball origin
+        while k stayed put, skewing the geometry. With identity projections,
+        q_i == k_i, so d(q_i, k_i) = 0 must be each row's max score — the
+        old scaled q made token i land exactly on a DIFFERENT token's ball
+        point for colinear inputs."""
+        from sttode_tpu.nn.attention import MHGSAParams, mhgsa
+
+        D, H = 8, 2
+        eye = jnp.eye(D, dtype=jnp.float32)
+        params = MHGSAParams(
+            in_proj_w=jnp.concatenate([eye, eye, eye], axis=1),
+            in_proj_b=jnp.zeros((3 * D,)),
+            out_proj_w=eye, out_proj_b=jnp.zeros((D,)))
+        u = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+        u = u / jnp.linalg.norm(u)
+        # colinear tokens at distinct radii: distances along one geodesic
+        # through the origin are monotone in |a−b|, so the diagonal is the
+        # strict argmax iff q is NOT rescaled (Dh^-0.5 = 0.5 would map token
+        # 2u onto exactly token 1u's ball point)
+        x = jnp.stack([0.5 * u, 1.0 * u, 2.0 * u, 3.0 * u])[None]  # [1, 4, D]
+        _, w = mhgsa(params, x, x, x, H, compat="tpu", need_weights=True,
+                     metric="poincare")
+        assert w is not None
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(w, axis=-1))[0], np.arange(4))
+
+    def test_dopri5_max_steps_exhaustion_warns(self, capfd):
+        """The while-form's max_steps cap must warn as loudly as the
+        scan-budget form (same silent mid-interval truncation otherwise)."""
+        from sttode_tpu.ode.solvers import odeint
+
+        def f(t, y):
+            return -50.0 * y
+
+        ys = odeint(f, jnp.ones((2,)), jnp.array([0.0, 1.0]),
+                    method="dopri5", max_steps=2)
+        jax.block_until_ready(ys)
+        out = capfd.readouterr()
+        assert "max_steps=2 exhausted" in out.out + out.err
+
+    def test_eth_loader_rejects_duplicate_plus_gap(self, tmp_path):
+        """A ped with a duplicated row in one frame and a missing interior
+        frame passed the span+count filter and produced a time-misaligned
+        trajectory; the filter now requires exactly one row per frame."""
+        from sttode_tpu.data.eth_ucy import load_eth_ucy
+
+        rows = []
+        for f in range(20):
+            rows.append((f, 1, float(f), float(f)))        # clean ped
+            if f != 5:
+                rows.append((f, 2, float(f), -float(f)))   # gap at frame 5
+            if f == 7:
+                rows.append((f, 2, 7.5, -7.5))             # dup at frame 7
+            rows.append((f, 3, -float(f), float(f)))       # second clean ped
+        d = tmp_path / "train"
+        d.mkdir()
+        with open(d / "scene.csv", "w") as fh:
+            for r in rows:
+                fh.write(",".join(str(x) for x in r) + "\n")
+        scenes = load_eth_ucy(str(d), obs_len=8, pred_len=12, min_ped=0)
+        assert scenes, "clean peds must still produce a scene"
+        for s in scenes:
+            assert 2.0 not in set(np.asarray(s["ped_ids"]).tolist()), \
+                "corrupted ped must be filtered"
+            assert set(np.asarray(s["ped_ids"]).tolist()) == {1.0, 3.0}
+
+    def test_decoder_layer_honors_attn_impl(self, rng):
+        """decoder_layer previously ignored cfg.attn_impl entirely."""
+        from sttode_tpu.nn.transformer import (LayerConfig, decoder_layer,
+                                               decoder_layer_init)
+
+        cfg = LayerConfig(d_model=16, num_heads=4, ff_dim=32,
+                          attn_impl="fused")
+        params = decoder_layer_init(jax.random.PRNGKey(0), cfg)
+        tgt = jnp.asarray(rng.standard_normal((3, 2, 1, 16)), jnp.float32)
+        mem = jnp.asarray(rng.standard_normal((4, 2, 1, 16)), jnp.float32)
+        out, sw, cw = decoder_layer(params, tgt, mem, cfg)
+        # the forced kernel route is actually taken: kernels return no
+        # weight matrices
+        assert sw is None and cw is None
+        assert bool(jnp.all(jnp.isfinite(out)))
+        cfg_ring = LayerConfig(d_model=16, num_heads=4, ff_dim=32,
+                               attn_impl="ring")
+        with pytest.raises(ValueError, match="decoder"):
+            decoder_layer(params, tgt, mem, cfg_ring)
+
+    def test_prepare_scene_training_needs_rng(self, rng):
+        """training=True without an rng must raise, not silently skip the
+        subsample/augmentation (same contract as scene_batches)."""
+        from sttode_tpu.data.preprocess import prepare_scene
+
+        scene = {"obs": rng.standard_normal((5, 8, 2)).astype(np.float32),
+                 "pred": rng.standard_normal((5, 12, 2)).astype(np.float32)}
+        with pytest.raises(ValueError, match="rng"):
+            prepare_scene(scene, training=True)
+        # eval path unaffected
+        batch, orig = prepare_scene(scene, training=False)
+        assert batch.past.shape[0] == 5
