@@ -3,8 +3,9 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measured config = the PRODUCTION RECIPE (BENCHMARKS.md headline table row 3,
-round-3 notes): B=128 scenes x 11 agents, 8 optimizer steps per device
-dispatch (lax.scan), bf16 best-of-K selection decode with the winner
+round-3/4 notes): B=128 scenes x 11 agents, 16 optimizer steps per device
+dispatch (lax.scan; round-4 on-chip sweep: S=8 60.5k, S=16 63.1k, S=32 63.0k
+scenes/s — knee at 16), bf16 best-of-K selection decode with the winner
 recomputed fp32 (select_dtype="bfloat16"), selection kernel routed by the
 measured win region (select_impl="auto"), GRU input projection un-hoisted at
 selection row counts (automatic above SELECT_GRU_HOIST_MAX_ROWS).
@@ -49,7 +50,7 @@ REFERENCE_SCENES_PER_S = 15.3
 # the defaults = the production recipe
 SCENES_PER_STEP = int(os.environ.get("BENCH_SCENES", "128"))
 AGENTS = 11
-SCAN_STEPS = int(os.environ.get("BENCH_SCAN", "8"))
+SCAN_STEPS = int(os.environ.get("BENCH_SCAN", "16"))
 # optimizer steps per device dispatch (lax.scan over
                          # stacked batches): the device step is ~2 ms but a
                          # dispatch through the tunneled chip costs ~4.5-35 ms,
@@ -117,7 +118,7 @@ def run_bench():
     _ = float(np.asarray(metrics["total"]).ravel()[-1])
 
     # best-of-3 windows: tunneled-chip dispatch latency is noisy run-to-run;
-    # windows are long (16 dispatches x 8 steps at B=128) to amortize the
+    # windows are long (16 dispatches x 16 steps at B=128) to amortize the
     # ~35 ms tunnel fetch latency that closes each window.
     n_iters = int(os.environ.get("BENCH_ITERS", "16"))
     best_dt = float("inf")
