@@ -50,7 +50,7 @@ class Predictor:
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  sample_k: int | None = None, max_group: int = 16,
                  sampler_params=None, sampler_cfg=None,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 4):
         self.params = jax.device_put(params)
         self.cfg = cfg
         self.buckets = tuple(buckets)
@@ -77,7 +77,10 @@ class Predictor:
         # in-flight device dispatches kept un-fetched: the D2H fetch of group
         # i overlaps the dispatch of groups i+1..i+depth-1, hiding the
         # per-dispatch latency (tunnel/PCIe) behind device work. 1 = the
-        # serial dispatch→fetch→dispatch behavior.
+        # serial dispatch→fetch→dispatch behavior. Default 4 = the measured
+        # knee (BENCHMARKS.md pipelined-dispatch table: throughput up AND
+        # p50 down at every depth/mode, so deeper is a pure win until the
+        # knee; cost is depth in-flight output buffers).
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._lock = threading.Lock()
         self._fn = self._infer_fn()  # eager: no double-compile race on first use
