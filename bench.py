@@ -61,10 +61,11 @@ SCAN_STEPS = int(os.environ.get("BENCH_SCAN", "16"))
 ATTEMPTS = 3
 BACKOFF_S = (15, 60)         # sleep before attempt 2, 3
 # Per-attempt wall-clock bounds: attempt 1 carries the cold compile (~20-40 s
-# per program through the tunnel, several programs); retries hit the
-# persistent compilation cache, so a retry that is slow is a HUNG tunnel, and
-# a shorter bound stops it from eating the driver budget.
-ATTEMPT_TIMEOUT_S = (1500, 420, 420)
+# per program through the tunnel, several programs — and the sidecar's four
+# extra programs); retries hit the persistent compilation cache, so a retry
+# that is slow is a HUNG tunnel, and a shorter bound stops it from eating
+# the driver budget.
+ATTEMPT_TIMEOUT_S = (2100, 900, 900)
 
 
 def run_bench():
@@ -139,10 +140,156 @@ def run_bench():
         "vs_baseline": round(scenes_per_s / REFERENCE_SCENES_PER_S, 3),
     }))
     sys.stdout.flush()
+
+    # secondary-claims sidecar (round-5 VERDICT item 7): the repo's other
+    # headline numbers, captured in THIS same hardened child run so the
+    # driver's artifact verifies them too. Runs strictly AFTER the train
+    # JSON line is printed+flushed — a sidecar failure can never cost the
+    # primary metric (each section also fails soft into an "error" cell).
+    if os.environ.get("BENCH_SIDECAR", "1") != "0":
+        try:
+            _write_sidecar(cfg, params)
+        except Exception as e:  # noqa: BLE001 — sidecar must not kill bench
+            print(f"sidecar failed: {e!r}", file=sys.stderr)
+
     sys.stderr.flush()
     # hard-exit: the TPU PJRT plugin's non-daemon grant thread otherwise
     # blocks interpreter teardown for minutes (see tests/conftest.py)
     os._exit(0)
+
+
+def _write_sidecar(cfg, params):
+    """BENCH_DETAILS sidecar: {inference scenes/s, dopri5 solves/s at solver
+    defaults, flash 4096² fwd µs vs XLA, serving agent-axis scenes/s}.
+    Methodologies mirror bench_details.py / scripts/serving_bench.py (chained
+    in-jit loops + two-window differencing for sub-tunnel-latency programs);
+    ledger drift bands in BENCHMARKS.md."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench_details as bd
+    from sttode_tpu.models import STTODEConfig, sttode_inference, sttode_init
+
+    out: dict = {}
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_SIDECAR_BUDGET", "600"))
+
+    def section(name, fn):
+        # own wall budget: the sidecar must finish inside the launcher's
+        # per-attempt bound, or the child gets killed AFTER the primary JSON
+        # line printed and the attempt is lost
+        if time.perf_counter() - t_start > budget_s:
+            out[name] = {"error": "sidecar budget exhausted"}
+            return
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": repr(e)}
+            print(f"sidecar section {name} failed: {e!r}", file=sys.stderr)
+
+    # 1) inference best-of-20, B=32 x 11 agents (the ledger's config)
+    def infer():
+        B, N = 32, 11
+        batch = bd.make_batch(cfg, B, N)
+
+        def make_infer(n):
+            @jax.jit
+            def loop(p, key):
+                def body(k, _):
+                    k, sub = jax.random.split(k)
+                    return k, jnp.sum(sttode_inference(p, cfg, batch, sub))
+                return jax.lax.scan(body, key, None, length=n)[1]
+            return lambda: loop(params, jax.random.PRNGKey(2))
+
+        dt = bd._timed(make_infer, 100)
+        return {"scenes_per_s": round(B / dt, 1),
+                "device_ms_per_call": round(dt * 1e3, 3)}
+
+    # 2) dopri5 at solver defaults (fp32-pinned adaptive; 71-step solve)
+    def dopri():
+        from sttode_tpu.nn import LayerConfig, encoder_stack_init
+        from sttode_tpu.nn.ode_block import ode_encoder
+
+        lcfg = LayerConfig(d_model=64, num_heads=8, ff_dim=1024)
+        lparams = encoder_stack_init(jax.random.PRNGKey(0), lcfg, 1)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (32, 11, 1, 64)), jnp.float32)
+
+        def make_ode(n):
+            @jax.jit
+            def run(x):
+                def body(c, _):
+                    x_same = jnp.where(jnp.isnan(c[0, 0, 0, 0]), c, x)
+                    return ode_encoder(lparams, x_same, lcfg, time=12.0,
+                                       method="dopri5", steps=1), None
+                return jax.lax.scan(body, x, None, length=n)[0]
+            return lambda: run(x)
+
+        per = bd._timed(make_ode, 4)
+        return {"solves_per_s": round(1 / per, 1),
+                "ms_per_solve": round(per * 1e3, 2)}
+
+    # 3) flash kernel vs XLA fusion at 4096² (fwd)
+    def flash():
+        from sttode_tpu.kernels import flash_geodesic_attention
+        from sttode_tpu.nn.attention import geodesic_attention
+
+        B, L, S, Dh = 8, 4096, 4096, 64
+        r = np.random.default_rng(0)
+        q = jnp.asarray(r.standard_normal((B, L, Dh)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((B, S, Dh)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((B, S, Dh)), jnp.float32)
+
+        def make(fn):
+            def m(n):
+                f, _ = bd._chained(fn, n)
+                return lambda: f(q, k, v)
+            return m
+
+        tp = bd._timed(make(lambda q, k, v:
+                            flash_geodesic_attention(q, k, v)), 8)
+        tx = bd._timed(make(lambda q, k, v: geodesic_attention(
+            q, k, v, compat="tpu", fused=False)[0]), 8)
+        return {"flash_us": round(tp * 1e6, 0), "xla_us": round(tx * 1e6, 0),
+                "speedup_vs_xla": round(tx / tp, 2)}
+
+    # 4) serving agent-axis sustained throughput (64 scenes/call, default
+    #    pipeline depth — scripts/serving_bench.py methodology)
+    def serving():
+        import time as _time
+
+        from sttode_tpu.data.synthetic import make_social_scenes
+        from sttode_tpu.serving import Predictor
+
+        scfg = STTODEConfig(compat="tpu", attn_axis="agent").validate()
+        sparams = sttode_init(jax.random.PRNGKey(0), scfg)
+        scenes = make_social_scenes(64, agents_range=(8, 8), seed=0)
+        obs = [np.asarray(s["obs"], np.float32) for s in scenes]
+        pred = Predictor(sparams, scfg, max_group=64)
+        pred.predict_many(obs)          # warm/compile
+        calls, lat = 20, []
+        t_burst = time.perf_counter()
+        for _ in range(calls):
+            t0 = _time.perf_counter()
+            pred.predict_many(obs)
+            lat.append((_time.perf_counter() - t0) * 1e3)
+        burst = time.perf_counter() - t_burst
+        lat.sort()
+        return {"scenes_per_s": round(len(obs) * calls / burst, 1),
+                "p50_ms": round(lat[len(lat) // 2], 1)}
+
+    section("inference_b32", infer)
+    section("dopri5_defaults", dopri)
+    section("flash_4096", flash)
+    section("serving_agent_axis", serving)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.environ.get("BENCH_DETAILS_PATH",
+                          os.path.join(here, "BENCH_DETAILS_r05.json"))
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"sidecar -> {path}: {json.dumps(out)}", file=sys.stderr)
 
 
 def main():

@@ -8,6 +8,7 @@ Run on the attached TPU:  python bench_details.py
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -104,21 +105,22 @@ def bench_train_and_infer(lines):
     lines.append(f"| train step, scanned ×{S} per dispatch (same batch shape) "
                  f"| {dt * 1e3:.2f} ms | {B / dt:,.0f} scenes/s |")
 
-    # the recommended production recipe (round-3 notes): B=128, scanned ×8,
-    # bf16 best-of-K selection (winner recomputed fp32, GRU un-hoisted at
-    # selection row counts)
+    # the recommended production recipe (round-4 notes): B=128, scanned ×16
+    # (bench.py's BENCH_SCAN default — the measured knee), bf16 best-of-K
+    # selection (winner recomputed fp32, GRU un-hoisted at selection rows)
     Bp = 128
+    Sp = int(os.environ.get("BENCH_SCAN", "16"))
     cfg_p = cfg._replace(select_dtype="bfloat16").validate()
     params_p = sttode_init(jax.random.PRNGKey(0), cfg_p)
     opt_state_p = opt.init(params_p)
     stacked_p = stack_batches([make_batch(cfg_p, Bp, N, seed=i)
-                               for i in range(S)])
-    step_p = make_train_step(cfg_p, opt, donate=False, scan_steps=S)
+                               for i in range(Sp)])
+    step_p = make_train_step(cfg_p, opt, donate=False, scan_steps=Sp)
     r = profiling.time_fn(step_p, params_p, opt_state_p, stacked_p, key,
                           iters=12)
-    dt = r["seconds_per_call"] / S
+    dt = r["seconds_per_call"] / Sp
     lines.append(f"| train step, production recipe (B={Bp} × {N}, scanned "
-                 f"×{S}, bf16 selection) | {dt * 1e3:.2f} ms | "
+                 f"×{Sp}, bf16 selection) | {dt * 1e3:.2f} ms | "
                  f"{Bp / dt:,.0f} scenes/s |")
 
     # inference device time: key-chained calls in one dispatch, two-window

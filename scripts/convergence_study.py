@@ -68,6 +68,11 @@ def main():
                     choices=("xla", "fused", "auto"),
                     help="best-of-K selection route (fused = the Pallas "
                          "selection-decode kernel)")
+    ap.add_argument("--decode_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="bf16 STORAGE for the differentiable decode "
+                         "(posterior + winner recompute; fp32 master "
+                         "weights) — round-5 VERDICT item 1 convergence A/B")
     args = ap.parse_args()
 
     train = make_social_scenes(args.train_scenes, seed=0)
@@ -82,7 +87,8 @@ def main():
                        attn_impl="dense" if args.attn_metric == "poincare"
                        else "auto",
                        select_dtype=args.select_dtype,
-                       select_impl=args.select_impl)
+                       select_impl=args.select_impl,
+                       decode_dtype=args.decode_dtype)
 
     key = jax.random.PRNGKey(0)
     key, k_init = jax.random.split(key)
@@ -128,6 +134,7 @@ def main():
         recipe = (f"B={args.scenes_per_batch}"
                   + (f"×scan{args.scan_steps}" if args.scan_steps > 1 else "")
                   + ("+bf16sel" if args.select_dtype == "bfloat16" else "")
+                  + ("+bf16dec" if args.decode_dtype == "bfloat16" else "")
                   + (f"+{args.select_impl}sel"
                      if args.select_impl != "xla" else ""))
         f.write(f"\n## Run: {args.epochs} epochs, {args.train_scenes} train "

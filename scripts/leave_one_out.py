@@ -25,7 +25,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SPLITS = ("eth", "hotel", "univ", "zara1", "zara2")
 
@@ -38,7 +41,8 @@ def run_split(split: str, args) -> dict:
 
     common = ["--dataset", split, "--data_root", args.data_root,
               "--ckpt_dir", args.ckpt_dir, "--seed", str(args.seed)] \
-        + args.extra_list
+        + args.extra_list + getattr(args, "per_split_extra_map",
+                                    {}).get(split, [])
     sampler_common = common + args.sampler_extra_list
     t0 = time.time()
 
@@ -57,6 +61,7 @@ def run_split(split: str, args) -> dict:
         "stage1_ade": stage1["ade"], "stage1_fde": stage1["fde"],
         "stage2_ade": stage2["ade"], "stage2_fde": stage2["fde"],
         "seconds": round(time.time() - t0, 1),
+        "extra_flags": " ".join(common[8:]),   # provenance past the 4 fixed pairs
     }
 
 
@@ -81,10 +86,41 @@ def main(argv=None):
     p.add_argument("--sampler_extra", default="",
                    help="quoted flags forwarded to the two sampler-stage "
                         "CLIs only, e.g. --sampler_extra '--nz 32'")
+    p.add_argument("--per_split_extra", default="{}",
+                   help="JSON {split: 'quoted flags'} forwarded to that "
+                        "split's four CLIs on top of --extra — e.g. "
+                        '\'{"univ": "--ode_method dopri5 --ode_adjoint"}\' '
+                        "drives BASELINE.json config 2 through one split")
+    p.add_argument("--synthesize", type=int, default=0, metavar="FRAMES",
+                   help="generate per-split synthetic CSV data (FRAMES "
+                        "frames/file, distinct seed per split, "
+                        "data.synthetic.write_eth_style_csvs) into data_root "
+                        "for any split whose train dir is missing — proves "
+                        "the five-split protocol machinery end-to-end on "
+                        "everything except the real data itself (round-5 "
+                        "VERDICT item 4)")
     args = p.parse_args(argv)
     import shlex
     args.extra_list = shlex.split(args.extra)
     args.sampler_extra_list = shlex.split(args.sampler_extra)
+    args.per_split_extra_map = {
+        k: shlex.split(v) for k, v in json.loads(args.per_split_extra).items()}
+    unknown = set(args.per_split_extra_map) - set(SPLITS)
+    if unknown:
+        raise SystemExit(f"--per_split_extra names unknown splits {unknown}")
+
+    if args.synthesize:
+        from sttode_tpu.data.synthetic import write_eth_style_csvs
+        for i, split in enumerate(args.splits):
+            for part, seed_off in (("train", 0), ("test", 1)):
+                d = os.path.join(args.data_root, split, part)
+                if os.path.isdir(d):
+                    continue
+                write_eth_style_csvs(
+                    d, n_files=2, frames_per_file=args.synthesize,
+                    agents=12, seed=100 * i + seed_off)
+                print(f"synthesized {d} ({args.synthesize} frames/file)",
+                      flush=True)
 
     missing = [s for s in args.splits if not os.path.isdir(
         os.path.join(args.data_root, s, "train"))]

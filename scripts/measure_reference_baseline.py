@@ -195,9 +195,17 @@ def _min_ade_fde(pred_k, target):
 
 def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
                     obs_len=8, pred_len=12, batch_scenes=32,
-                    result_key="convergence"):
-    train_scenes = _make_fixture(n_train, n_agents, obs_len, pred_len, seed=2)
-    eval_scenes = _make_fixture(n_eval, n_agents, obs_len, pred_len, seed=3)
+                    result_key="convergence", fixture_seed=2, torch_seed=0,
+                    jax_seed=0):
+    """``fixture_seed``/``torch_seed``/``jax_seed`` parameterize the round-5
+    multi-seed parity study (scripts/parity_seeds.py): vary the data draw AND
+    each framework's init/train randomness so the A/B deltas come with a
+    measured spread instead of a single N=1 sample. Defaults reproduce the
+    round-4 single-seed rows exactly."""
+    train_scenes = _make_fixture(n_train, n_agents, obs_len, pred_len,
+                                 seed=fixture_seed)
+    eval_scenes = _make_fixture(n_eval, n_agents, obs_len, pred_len,
+                                seed=fixture_seed + 1)
     tr_past, tr_fut = _scenes_to_nba_arrays(train_scenes, obs_len, pred_len)
     ev_past, ev_fut = _scenes_to_nba_arrays(eval_scenes, obs_len, pred_len)
     n_batches = n_train // batch_scenes
@@ -205,7 +213,7 @@ def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
     # ---- reference: torch CPU, batched NBA-style stepping ----
     ref = load_reference()
     args = _ref_args(past_length=obs_len, future_length=pred_len)
-    torch.manual_seed(0)
+    torch.manual_seed(torch_seed)
     net = ref.sttode.STTODENet(args, torch.device("cpu"))
     opt = torch.optim.Adam(net.parameters(), lr=1e-4)
     t0 = time.perf_counter()
@@ -241,11 +249,11 @@ def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
     from sttode_tpu.train import make_train_step
 
     cfg = STTODEConfig(past_length=obs_len, future_length=pred_len)
-    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    params = sttode_init(jax.random.PRNGKey(jax_seed), cfg)
     optx = optax.adam(1e-4)
     opt_state = optx.init(params)
     step = make_train_step(cfg, optx)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(jax_seed + 1)
     batches = [
         _jax_batch(tr_past[b * batch_scenes:(b + 1) * batch_scenes],
                    tr_fut[b * batch_scenes:(b + 1) * batch_scenes],
@@ -257,7 +265,7 @@ def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
     _p, _o, _m = step(params, opt_state, batches[0], jax.random.PRNGKey(99))
     _ = float(np.asarray(_m["total"]))
     del _p, _o
-    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    params = sttode_init(jax.random.PRNGKey(jax_seed), cfg)
     opt_state = optx.init(params)
     t0 = time.perf_counter()
     for _ in range(epochs):
@@ -279,7 +287,8 @@ def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
         "fixture": {"n_train": n_train, "n_eval": n_eval,
                     "n_agents": n_agents, "obs/pred": [obs_len, pred_len],
                     "epochs": epochs, "batch_scenes": batch_scenes,
-                    "generator": "data.synthetic.make_social_scene seeds 2/3"},
+                    "generator": "data.synthetic.make_social_scene seeds "
+                                 f"{fixture_seed}/{fixture_seed + 1}"},
         "reference_torch_cpu": {"min_ade": round(ref_ade, 4),
                                 "min_fde": round(ref_fde, 4),
                                 "train_wall_s": round(ref_train_s, 1)},
@@ -297,7 +306,8 @@ def run_convergence(epochs=8, n_train=192, n_eval=64, n_agents=6,
 # --------------------------------------------------------------------------- #
 
 def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
-               obs_len=5, pred_len=10, batch_scenes=32):
+               obs_len=5, pred_len=10, batch_scenes=32, fixture_seed=2,
+               torch_seed=0, jax_seed=0):
     """Round-3 VERDICT item 3a: the reference's two-stage protocol
     (trainsampler.py:124-161 NBA branch + test_sampler.py eval semantics,
     samplerloss.compute_sampler_loss_nba) and ours
@@ -305,8 +315,10 @@ def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
     fixture — trained-accuracy parity, not just elementwise forward parity.
     The NBA batched protocol is the reference's default
     (trainsampler.py:25 dataset='nba')."""
-    train_scenes = _make_fixture(n_train, n_agents, obs_len, pred_len, seed=2)
-    eval_scenes = _make_fixture(n_eval, n_agents, obs_len, pred_len, seed=3)
+    train_scenes = _make_fixture(n_train, n_agents, obs_len, pred_len,
+                                 seed=fixture_seed)
+    eval_scenes = _make_fixture(n_eval, n_agents, obs_len, pred_len,
+                                seed=fixture_seed + 1)
     tr_past, tr_fut = _scenes_to_nba_arrays(train_scenes, obs_len, pred_len)
     ev_past, ev_fut = _scenes_to_nba_arrays(eval_scenes, obs_len, pred_len)
     n_batches = n_train // batch_scenes
@@ -324,7 +336,7 @@ def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
     args.train_w_mean = True
     args.kld_weight = 0.1
     args.kld_min_clamp = 10.0
-    torch.manual_seed(0)
+    torch.manual_seed(torch_seed)
     net = ref.sttode.STTODENet(args, torch.device("cpu"))
     opt1 = torch.optim.Adam(net.parameters(), lr=1e-4)
     net.train()
@@ -389,11 +401,11 @@ def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
     from sttode_tpu.train import make_sampler_train_step, make_train_step
 
     cfg = STTODEConfig(past_length=obs_len, future_length=pred_len)
-    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    params = sttode_init(jax.random.PRNGKey(jax_seed), cfg)
     optx1 = optax.adam(1e-4)
     opt_state = optx1.init(params)
     step1 = make_train_step(cfg, optx1, donate=False)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(jax_seed + 1)
     batches = [
         _jax_batch(tr_past[b * batch_scenes:(b + 1) * batch_scenes],
                    tr_fut[b * batch_scenes:(b + 1) * batch_scenes],
@@ -403,7 +415,7 @@ def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
     # side has no compile step to exclude)
     scfg = SamplerConfig(nk=K, div_weight=div_cfg["weight"],
                          div_scale=div_cfg["scale"])
-    sp0 = sampler_init(jax.random.PRNGKey(7), scfg)
+    sp0 = sampler_init(jax.random.PRNGKey(jax_seed + 7), scfg)
     optx2 = optax.adam(1e-4)
     step2 = make_sampler_train_step(cfg, scfg, optx2)
     _p, _o, _m = step1(params, opt_state, batches[0], jax.random.PRNGKey(99))
@@ -416,7 +428,7 @@ def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
         for batch in batches:
             key, sub = jax.random.split(key)
             params, opt_state, m = step1(params, opt_state, batch, sub)
-    sampler_params = sampler_init(jax.random.PRNGKey(7), scfg)
+    sampler_params = sampler_init(jax.random.PRNGKey(jax_seed + 7), scfg)
     opt_state2 = optx2.init(sampler_params)
     for _ in range(epochs2):
         for batch in batches:
@@ -443,7 +455,8 @@ def run_stage2(epochs1=10, epochs2=10, n_train=192, n_eval=64, n_agents=11,
                     "batch_scenes": batch_scenes,
                     "protocol": "NBA batched two-stage: CVAE -> freeze -> "
                                 "DLow sampler (mean path) -> best-of-20",
-                    "generator": "data.synthetic.make_social_scene seeds 2/3"},
+                    "generator": "data.synthetic.make_social_scene seeds "
+                                 f"{fixture_seed}/{fixture_seed + 1}"},
         "reference_torch_cpu": {"min_ade": round(ref_ade, 4),
                                 "min_fde": round(ref_fde, 4),
                                 "train_wall_s": round(ref_train_s, 1)},
@@ -461,26 +474,38 @@ def main():
                                      "convergence_nba", "stage2"])
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--epochs2", type=int, default=10)
+    ap.add_argument("--fixture-seed", type=int, default=2)
+    ap.add_argument("--torch-seed", type=int, default=0)
+    ap.add_argument("--jax-seed", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="write the result to this path instead of merging "
+                         "into BASELINE_MEASURED.json (used by the multi-seed "
+                         "parity study so non-default seeds never clobber the "
+                         "canonical single-seed entries)")
     args = ap.parse_args()
+    seeds = dict(fixture_seed=args.fixture_seed, torch_seed=args.torch_seed,
+                 jax_seed=args.jax_seed)
     if args.mode == "timing":
         update = run_timing()
     elif args.mode == "convergence_nba":
         # round-3 VERDICT item 3b: a true NBA-shaped fixture (11 agents,
         # 5/10 horizons) through set_data_nba semantics end-to-end
         update = run_convergence(epochs=args.epochs, n_agents=11, obs_len=5,
-                                 pred_len=10, result_key="convergence_nba")
+                                 pred_len=10, result_key="convergence_nba",
+                                 **seeds)
     elif args.mode == "stage2":
-        update = run_stage2(epochs1=args.epochs, epochs2=args.epochs2)
+        update = run_stage2(epochs1=args.epochs, epochs2=args.epochs2, **seeds)
     else:
-        update = run_convergence(epochs=args.epochs)
+        update = run_convergence(epochs=args.epochs, **seeds)
+    out_path = args.out or OUT_PATH
     existing = {}
-    if os.path.exists(OUT_PATH):
-        with open(OUT_PATH) as f:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
             existing = json.load(f)
     existing.update(update)
-    with open(OUT_PATH, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(existing, f, indent=2)
-    print(f"wrote {OUT_PATH}")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

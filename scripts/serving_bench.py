@@ -42,21 +42,25 @@ def main():
                                 seed=0)
     obs = [np.asarray(s["obs"], np.float32) for s in scenes]
 
-    # two serving modes: the reference-compat scene-axis config must isolate
-    # requests (one device call per scene — cross-request attention would
-    # leak); the agent-axis config micro-batches same-bucket requests
-    for label, cfg in (
-        ("scene-axis (isolated)", STTODEConfig().validate()),
+    # three serving modes: scene-axis isolation serialized (the round-4
+    # behavior: one device call per scene — isolated_group_max=1), scene-axis
+    # isolation GROUPED (round-5: one vmapped dispatch, a lane per scene —
+    # isolation by construction), and agent-axis micro-batching
+    for label, cfg, igm in (
+        ("scene-axis (isolated, serialized)", STTODEConfig().validate(), 1),
+        ("scene-axis (isolated, vmapped-group)", STTODEConfig().validate(),
+         64),
         ("agent-axis (micro-batched)",
-         STTODEConfig(compat="tpu", attn_axis="agent").validate()),
+         STTODEConfig(compat="tpu", attn_axis="agent").validate(), 64),
     ):
         params = sttode_init(jax.random.PRNGKey(0), cfg)
         # pipeline A/B (round-3 VERDICT item 7): depth 1 = serial
         # dispatch→fetch per group; depth ≥2 overlaps group i's D2H fetch
         # with group i+1's dispatch. Only multi-group calls can pipeline —
-        # the scene-axis mode (1 scene per dispatch) is where it bites.
+        # the serialized scene-axis mode (1 scene/dispatch) is where it bites.
         for depth in (1, 2, 4):
-            pred = Predictor(params, cfg, max_group=64, pipeline_depth=depth)
+            pred = Predictor(params, cfg, max_group=64, pipeline_depth=depth,
+                             isolated_group_max=igm)
             print(f"-- {label}, pipeline_depth={depth} --", flush=True)
             for n in [int(x) for x in args.scenes.split(",")]:
                 group = obs[:n]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from sttode_tpu.models.sttode import (
-    Batch, STTODEConfig, decode, encode_past, prior,
+    Batch, STTODEConfig, _decode_mp, encode_past, prior,
 )
 from sttode_tpu.nn import core
 from sttode_tpu.utils.distributions import DiagNormal
@@ -115,15 +115,19 @@ def sampler_forward(sampler_params: dict, net_params: dict,
 
     sampler_dist = DiagNormal(mu=b, logvar=jnp.log(jnp.square(A) + 1e-8))
 
-    # fused single latent (q_c collapses the K flows) → reconstruction decode
+    # fused single latent (q_c collapses the K flows) → reconstruction decode.
+    # _decode_mp honors cfg.decode_dtype: these decodes ARE differentiable in
+    # stage 2 (grads flow through the frozen net's graph into the sampler
+    # params, trainsampler.py:282 semantics), so the bf16-storage lever
+    # applies here exactly as in the stage-1 step.
     z_fused = core.dense(sampler_params["q_c"], z_flow.reshape(M, K * Z))
-    recon_motion, _ = decode(net_params, cfg, past_feature, z_fused,
-                             batch.past, batch.cur_location, 1)
+    recon_motion, _ = _decode_mp(net_params, cfg, past_feature, z_fused,
+                                 batch.past, batch.cur_location, 1)
 
     # diverse decode from the K flow latents (net.decoder_future_1 semantics)
     past_feature_k = jnp.repeat(past_feature, K, axis=0)
-    diverse, _ = decode(net_params, cfg, past_feature_k, z_flow, batch.past,
-                        batch.cur_location, K)
+    diverse, _ = _decode_mp(net_params, cfg, past_feature_k, z_flow,
+                            batch.past, batch.cur_location, K)
     dec_motion = diverse.reshape(M, K, cfg.future_length, 2)
 
     vae_dist = prior(net_params, cfg, past_feature_k)

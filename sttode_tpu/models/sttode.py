@@ -152,6 +152,25 @@ class STTODEConfig(NamedTuple):
                                     # xla otherwise). diverse_pred is
                                     # returned as zeros under "fused" (the
                                     # trajectories never leave the kernel).
+    decode_dtype: str = "float32"   # "bfloat16" runs the DIFFERENTIABLE
+                                    # decompose decode(s) — the posterior
+                                    # reconstruction + best-of-K winner
+                                    # recompute (or the dense K-decode under
+                                    # diverse_grad="dense") — with bf16
+                                    # STORAGE: decoder params cast once at
+                                    # entry (differentiably — fp32 master
+                                    # weights stay in the optimizer, grads
+                                    # return fp32 through the cast's VJP),
+                                    # every activation and AD residual stored
+                                    # bf16, outputs cast back to fp32 before
+                                    # the loss reductions. This is the
+                                    # storage-level mixed precision round 2's
+                                    # compute_dtype operand cast was not (that
+                                    # per-matmul cast broke XLA fusion and
+                                    # washed out); it halves the HBM bytes of
+                                    # the step's differentiable decode half.
+                                    # Encoders, attention, losses, optimizer
+                                    # state all stay fp32.
 
     @property
     def layer_cfg(self) -> LayerConfig:
@@ -188,6 +207,7 @@ class STTODEConfig(NamedTuple):
             "dense path differentiates through the K-decode, which must " \
             "stay fp32)"
         assert self.select_impl in ("xla", "fused", "auto"), self.select_impl
+        assert self.decode_dtype in ("float32", "bfloat16"), self.decode_dtype
         assert not (self.select_impl == "fused"
                     and (self.diverse_grad != "sparse"
                          or self.num_decompose != 2)), \
@@ -508,6 +528,16 @@ def _fused_select_call(params, past_feature, z, state0, past_traj,
     return kernel(params, past_feature, z_km, state0,
                   past_traj.reshape(M, -1), target_rel_flat)
 
+def _bf16_tree(t):
+    """Cast every floating leaf to bfloat16 (ints/bools pass through). The
+    cast is differentiable: under AD its VJP casts cotangents back to fp32,
+    so fp32 master params receive fp32 gradients — the standard
+    master-weight mixed-precision contract."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
+
 def decode_block0_state(params: dict, past_traj: jnp.ndarray) -> jnp.ndarray:
     """Decompose block 1's conv+GRU state [M, 96]. Block 1 always sees
     residual = x_true − 0 = past_traj, independent of z and the sample
@@ -573,6 +603,27 @@ def decode(params: dict, cfg: STTODEConfig, past_feature: jnp.ndarray,
 
     out_seq = prediction + jnp.repeat(cur_location, s, axis=0)
     return out_seq, reconstruction
+
+
+def _decode_mp(params: dict, cfg: STTODEConfig, past_feature, z, past_traj,
+               cur_location, sample_num: int, *, block0_state=None,
+               gru_hoist: bool = True):
+    """``decode`` at ``cfg.decode_dtype`` storage. Under "bfloat16" every
+    operand (decoder params included) is cast ONCE at entry — the casts are
+    differentiable, so fp32 master weights receive fp32 grads through the
+    cast VJP while all decode activations/AD-residuals store bf16 — and the
+    outputs return fp32 so loss reductions keep fp32 numerics. Accelerates
+    the reference decode at model/STTODE.py:302-347."""
+    if cfg.decode_dtype != "bfloat16":
+        return decode(params, cfg, past_feature, z, past_traj, cur_location,
+                      sample_num, block0_state=block0_state,
+                      gru_hoist=gru_hoist)
+    b0 = None if block0_state is None else _bf16_tree(block0_state)
+    out, rec = decode({"decoder": _bf16_tree(params["decoder"])}, cfg,
+                      _bf16_tree(past_feature), _bf16_tree(z),
+                      _bf16_tree(past_traj), _bf16_tree(cur_location),
+                      sample_num, block0_state=b0, gru_hoist=gru_hoist)
+    return out.astype(jnp.float32), rec.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------- #
@@ -680,9 +731,10 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # into ONE decode (one block-2 GRU scan instead of two)
         pred_traj = recover_traj = None
     else:
-        pred_traj, recover_traj = decode(params, cfg, past_feature, qz_sample,
-                                         batch.past, batch.cur_location, 1,
-                                         block0_state=state0)
+        pred_traj, recover_traj = _decode_mp(params, cfg, past_feature,
+                                             qz_sample, batch.past,
+                                             batch.cur_location, 1,
+                                             block0_state=state0)
     l_kl = loss_kl(qz, pz, B, N, cfg.min_clip, valid)
 
     if "diverse" not in cfg.loss_terms:
@@ -739,10 +791,7 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
             # dominant component (measured 58-69% of step time at B≥128).
             # Selection flips only where two samples' squared errors land
             # within bf16 resolution of each other.
-            def _cast(t):
-                return jax.tree.map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            _cast = _bf16_tree
             diverse, _ = decode({"decoder": _cast(sg(params["decoder"]))},
                                 cfg, _cast(sg(past_feature_k)),
                                 _cast(sg(pz_sample)), _cast(batch.past),
@@ -770,8 +819,8 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         # numerics identical to separate decodes
         pf2 = jnp.repeat(past_feature, 2, axis=0)
         z2 = jnp.stack([qz_sample, z_best], axis=1).reshape(2 * M, -1)
-        out2, rec2 = decode(params, cfg, pf2, z2, batch.past,
-                            batch.cur_location, 2, block0_state=state0)
+        out2, rec2 = _decode_mp(params, cfg, pf2, z2, batch.past,
+                                batch.cur_location, 2, block0_state=state0)
         out2 = out2.reshape(M, 2, cfg.future_length, 2)
         pred_traj = out2[:, 0]
         best_pred = out2[:, 1]
@@ -779,8 +828,9 @@ def sttode_forward(params: dict, cfg: STTODEConfig, batch: Batch, rng, *,
         best_se = jnp.sum(jnp.square(batch.future - best_pred), axis=(-1, -2))
         l_div = _masked_mean(best_se, valid)
     else:
-        diverse, _ = decode(params, cfg, past_feature_k, pz_sample, batch.past,
-                            batch.cur_location, K, block0_state=state0)
+        diverse, _ = _decode_mp(params, cfg, past_feature_k, pz_sample,
+                                batch.past, batch.cur_location, K,
+                                block0_state=state0)
         diverse = diverse.reshape(M, K, cfg.future_length, 2)
         l_div = loss_diverse(diverse, batch.future, valid)
 

@@ -50,7 +50,8 @@ class Predictor:
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  sample_k: int | None = None, max_group: int = 16,
                  sampler_params=None, sampler_cfg=None,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4,
+                 isolated_group_max: int = 64):
         self.params = jax.device_put(params)
         self.cfg = cfg
         self.buckets = tuple(buckets)
@@ -82,8 +83,22 @@ class Predictor:
         # p50 down at every depth/mode, so deeper is a pure win until the
         # knee; cost is depth in-flight output buffers).
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # scene-axis isolation used to force ONE device dispatch per scene
+        # (cross-scene attention would leak requests into each other), which
+        # left the mode dispatch-rate-bound: ~0.16 ms device time under a
+        # 4.5-35 ms tunnel dispatch (round-4 scene-axis p50 734 ms at 64
+        # scenes/call). ``isolated_group_max`` > 1 instead vmaps up to that
+        # many same-bucket scenes into ONE dispatch — each vmap lane is its
+        # own batch_size=1 inference, so the attention token axis NEVER
+        # crosses scenes (isolation by construction, not by serialization).
+        # Per-scene keys are unchanged (digest of the single scene), so
+        # samples keep the (seed, scene) determinism contract; values can
+        # shift by float-level reassociation across group compositions —
+        # pass isolated_group_max=1 for the exact serial behavior.
+        self.isolated_group_max = max(1, int(isolated_group_max))
         self._lock = threading.Lock()
         self._fn = self._infer_fn()  # eager: no double-compile race on first use
+        self._vfn = jax.vmap(self._fn, in_axes=(None, 0, 0))
 
     def _infer_fn(self):
         cfg, K = self.cfg, self.sample_k
@@ -137,7 +152,9 @@ class Predictor:
         # — stacking unrelated requests would leak one request's data into
         # another's prediction. Micro-batch only under agent-axis attention.
         isolate = self.cfg.attn_axis != "agent"
-        cap = 1 if isolate else self.max_group
+        grouped_isolation = isolate and self.isolated_group_max > 1
+        cap = (self.isolated_group_max if grouped_isolation
+               else 1 if isolate else self.max_group)
         with self._lock:
             # pipelined dispatch: keep up to pipeline_depth groups in flight
             # and fetch in FIFO order — the host-blocking D2H of group i
@@ -147,16 +164,29 @@ class Predictor:
             for bucket, raw_idxs in sorted(by_bucket.items()):
                 for g0 in range(0, len(raw_idxs), cap):
                     idxs = raw_idxs[g0:g0 + cap]
-                    # fold the scenes' content into the key: same (seed,
-                    # scene) → same samples independent of batch composition
-                    digest = 0
-                    for i in idxs:
-                        arr = np.ascontiguousarray(scenes[i], np.float32)
-                        # crc32, not hash(): stable across processes
-                        digest ^= zlib.crc32(arr.tobytes()) & 0x7FFFFFFF
-                    key = jax.random.fold_in(base_key, digest)
-                    pending.append(self._launch_group(scenes, idxs, bucket,
-                                                      key))
+                    if grouped_isolation:
+                        # one dispatch, one vmap lane per scene: per-scene
+                        # keys exactly as the serial path computes them
+                        keys = jnp.stack([
+                            jax.random.fold_in(
+                                base_key,
+                                zlib.crc32(np.ascontiguousarray(
+                                    scenes[i], np.float32).tobytes())
+                                & 0x7FFFFFFF)
+                            for i in idxs])
+                        pending.append(self._launch_isolated_group(
+                            scenes, idxs, bucket, keys))
+                    else:
+                        # fold the scenes' content into the key: same (seed,
+                        # scene) → same samples independent of composition
+                        digest = 0
+                        for i in idxs:
+                            arr = np.ascontiguousarray(scenes[i], np.float32)
+                            # crc32, not hash(): stable across processes
+                            digest ^= zlib.crc32(arr.tobytes()) & 0x7FFFFFFF
+                        key = jax.random.fold_in(base_key, digest)
+                        pending.append(self._launch_group(scenes, idxs,
+                                                          bucket, key))
                     if len(pending) >= self.pipeline_depth:
                         self._finish_group(pending.pop(0), out)
             while pending:
@@ -190,12 +220,66 @@ class Predictor:
             preds_dev.copy_to_host_async()
         except AttributeError:
             pass
-        return preds_dev, idxs, bucket, ns, origs
+        return ("flat", preds_dev, idxs, bucket, ns, origs)
+
+    def _launch_isolated_group(self, scenes, idxs, bucket, keys):
+        """Dispatch up to ``isolated_group_max`` same-bucket scenes as ONE
+        vmapped device call — lane g runs an independent batch_size=1
+        inference on scene g (scene-axis attention tokens never cross
+        lanes). The scene count pads to the next power of two (≤ the cap)
+        so compile count stays log-bounded per agent bucket; padding lanes
+        replicate scene 0 and are dropped on fetch."""
+        from sttode_tpu.data.preprocess import prepare_scene_group
+
+        Tp, Tf = self.cfg.past_length, self.cfg.future_length
+        G = len(idxs)
+        Gp = 1
+        while Gp < G:
+            Gp *= 2
+        Gp = min(Gp, self.isolated_group_max)
+        obs = np.zeros((Gp, bucket, Tp, 2), np.float32)
+        valid = np.zeros((Gp, bucket), np.float32)
+        ns = []
+        for j, i in enumerate(idxs):
+            a = np.asarray(scenes[i], np.float32)
+            obs[j, :len(a)] = a
+            valid[j, :len(a)] = 1.0
+            ns.append(len(a))
+        if Gp > G:   # padding lanes: copy lane 0 (valid data, discarded)
+            obs[G:] = obs[0]
+            valid[G:] = valid[0]
+            keys = jnp.concatenate(
+                [keys, jnp.broadcast_to(keys[:1], (Gp - G, *keys.shape[1:]))])
+        pred_zeros = np.zeros((Gp, bucket, Tf, 2), np.float32)
+        batch, origs = prepare_scene_group(obs, pred_zeros, valid,
+                                           training=False)
+        # [Gp·bucket, ...] rows → a [Gp, bucket, ...] lane axis for vmap;
+        # each lane is its own Batch(batch_size=1, agent_num=bucket)
+        import dataclasses as _dc
+
+        arrays = {f.name: getattr(batch, f.name)
+                  for f in _dc.fields(batch) if f.name not in
+                  ("batch_size", "agent_num")}
+        lane = {k: jnp.asarray(v).reshape(Gp, bucket, *v.shape[1:])
+                for k, v in arrays.items()}
+        vbatch = type(batch)(batch_size=1, agent_num=bucket, **lane)
+        preds_dev = self._vfn(self.params, vbatch, keys)   # [Gp,K,bucket,T,2]
+        try:
+            preds_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return ("vmapped", preds_dev, idxs, bucket, ns, origs)
 
     def _finish_group(self, launched, out):
         """Blocking fetch + per-scene unpad/origin re-add for one in-flight
         group."""
-        preds_dev, idxs, bucket, ns, origs = launched
+        if launched[0] == "vmapped":
+            _, preds_dev, idxs, bucket, ns, origs = launched
+            preds = np.asarray(preds_dev)     # [Gp, K, bucket, Tf, 2]
+            for j, i in enumerate(idxs):
+                out[i] = preds[j, :, :ns[j]] + origs[j][None, None, None]
+            return
+        _, preds_dev, idxs, bucket, ns, origs = launched
         Tf = self.cfg.future_length
         preds = np.asarray(preds_dev)
         K = preds.shape[0]

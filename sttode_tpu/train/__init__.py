@@ -7,6 +7,7 @@ from sttode_tpu.train.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
     prune_checkpoints,
+    restore_shardings,
     save_checkpoint,
 )
 from sttode_tpu.train.loop import (
@@ -26,7 +27,7 @@ from sttode_tpu.train.schedulers import (
 
 __all__ = [
     "checkpoint_epochs", "flush_saves", "latest_checkpoint",
-    "load_checkpoint", "prune_checkpoints",
+    "load_checkpoint", "prune_checkpoints", "restore_shardings",
     "save_checkpoint", "make_sampler_train_step", "make_train_step",
     "stack_batches", "train_epoch", "ExpParamAnnealer", "ReduceOnPlateau",
     "adam_with_schedule", "lambda_lr", "set_lr", "step_lr",

@@ -208,19 +208,73 @@ def flush_saves() -> None:
         _pending_prunes.pop(0)
 
 
-def load_checkpoint(path: str, *, template: Any | None = None):
+def restore_shardings(template: dict, mesh, *, tp: bool = False) -> dict:
+    """Target-topology shardings for ``load_checkpoint(shardings=...)``:
+    every floating leaf of params/opt_state gets the TP rules' spec on
+    ``mesh`` (replicated under pure DP — ``parallel.mesh.param_sharding``;
+    the optimizer's mu/nu subtrees carry the param names in their paths, so
+    the same regex rules shard them identically to their params), the epoch
+    scalar stays host-side."""
+    from sttode_tpu.parallel.mesh import param_sharding
+    return {k: param_sharding(v, mesh, tp=tp)
+            for k, v in template.items()
+            if k in ("params", "opt_state") and v is not None}
+
+
+def load_checkpoint(path: str, *, template: Any | None = None,
+                    shardings: dict | None = None):
     """Restore (params, opt_state, epoch, cfg). ``template`` (a matching
     pytree of arrays) restores exact dtypes/structure; without it orbax's
-    saved metadata is used."""
+    saved metadata is used.
+
+    ``shardings`` — optional ``{"params": tree, "opt_state": tree}`` of
+    ``jax.sharding.Sharding`` leaves (see ``restore_shardings``) naming the
+    TARGET topology explicitly. Without it orbax falls back to the sharding
+    file written at save time, which (a) is the topology of the SAVING run —
+    orbax itself warns this is unsafe when the restoring topology differs
+    (save on a dp8 mesh, restore on one device or dp4) — and (b) emits that
+    warning on every restore. With it, arrays land as jax.Arrays already
+    placed for the restoring mesh and the saved topology is irrelevant.
+    Requires a complete ``template``."""
     # orbax/tensorstore requires absolute paths; save() absolutizes, restore
     # must too (caught by the CLI workflow run with a relative --ckpt_dir)
+    import jax
+
     path = os.path.abspath(path)
     flush_saves()   # a just-written background save must commit first
     ckptr = ocp.PyTreeCheckpointer()
     template_complete = template is not None and all(
         template.get(k) is not None for k in ("params", "opt_state"))
-    if template_complete:
-        restored = ckptr.restore(path, item=template)
+    if shardings is not None:
+        if not template_complete:
+            raise ValueError("shardings= needs a complete template "
+                             "(params AND opt_state)")
+
+        def _args(sub, shard_sub):
+            # leaf-wise ArrayRestoreArgs carrying the target sharding;
+            # jax.Array restore_type makes orbax place (and, across
+            # topologies, reshard) during deserialization
+            return jax.tree.map(
+                lambda s: ocp.ArrayRestoreArgs(restore_type=jax.Array,
+                                               sharding=s), shard_sub)
+
+        restore_args = {
+            k: (_args(template[k], shardings[k]) if k in shardings
+                else jax.tree.map(lambda _: ocp.RestoreArgs(), template[k]))
+            for k in template}
+        restored = ckptr.restore(path, item=template,
+                                 restore_args=restore_args)
+    elif template_complete:
+        # no target shardings named → restore to HOST numpy explicitly.
+        # Orbax's default for jax.Array leaves reads the save-time sharding
+        # file, which is the SAVING topology — wrong after an elastic
+        # resize, and it warns ("unsafe when restoring on a different
+        # topology") on every restore. Host arrays have no topology; jit /
+        # device_put place them for whatever mesh the resuming run built.
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template)
+        restored = ckptr.restore(path, item=template,
+                                 restore_args=restore_args)
     else:
         # partial template (e.g. eval wants params only): restore the raw
         # saved structure — orbax rejects None placeholders in item trees —

@@ -1,0 +1,197 @@
+"""Seeded randomized contract sweep over the Pallas attention kernels
+(round-5 VERDICT item 5).
+
+Round 4 found four silent-wrong-answer kernel bugs by REVIEW, not by the
+suite — kv_valid dropped when an additive mask was also passed, forced
+packed+poincare computing oblique, a uniform -100 mask returning zero rows,
+and c=0.025 outputs 26x too small. All four live in the contract space
+{route x shape x mask-form x metric x scale}, which the example-based tests
+under-sampled. This module draws a deterministic pseudo-random sample of that
+space and asserts every forced kernel route matches the dense jnp oracle
+(`geodesic_attention(fused=False)`) in forward AND input gradients, in
+interpret mode on the CPU suite.
+
+Structure bounds runtime: cases are grouped into a fixed pool of compiled
+program shapes (route, shape, mask form, metric, compat), and each program is
+exercised with several independent VALUE draws (scales, mask values, validity
+patterns) that reuse the jit cache. Override the per-program draw count with
+STTODE_SWEEP_DRAWS (default 3).
+
+Contract defended: kernels/mhgsa.py MASK CONTRACT (fused_geodesic_attention
+docstring), kernels/packed_mhgsa.py scope note, nn/attention._kernel_route
+forced-route guards.
+"""
+
+import os
+import zlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sttode_tpu.nn.attention import geodesic_attention
+
+SEED = 20260819
+DRAWS = int(os.environ.get("STTODE_SWEEP_DRAWS", "3"))
+SENTINEL = -1e30
+
+# (lead_dims, L, S, Dh) — deliberately tile-unaligned sizes among them
+SHAPES = [
+    ((2,), 8, 8, 8),
+    ((1,), 7, 13, 5),
+    ((3, 2), 16, 16, 8),
+    ((1,), 24, 9, 16),
+    ((2,), 5, 33, 8),
+    ((1,), 33, 17, 4),
+]
+# (B, H, L, S, Dh) with H*Dh <= 128 — the packed kernel's design space
+PACKED_SHAPES = [
+    (2, 8, 8, 8, 8),
+    (1, 4, 11, 11, 8),
+    (2, 2, 16, 16, 16),
+    (1, 8, 5, 9, 8),
+    (1, 8, 31, 17, 8),
+]
+METRICS = [("oblique", 1.0), ("poincare", 1.0), ("poincare", 0.05),
+           ("poincare", 2.0)]
+# mask forms: none | finite additive (incl. uniform shifts and positive
+# bias) | sentinel exclusions | kv_valid | additive + kv_valid together
+MASK_FORMS = ("none", "finite", "sentinel", "kv", "both")
+
+
+def _draw_inputs(rng, lead, L, S, Dh, scale):
+    q = jnp.asarray(rng.standard_normal((*lead, L, Dh)) * scale, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((*lead, S, Dh)) * scale, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((*lead, S, Dh)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((*lead, L, Dh)), jnp.float32)
+    return q, k, v, ct
+
+
+def _draw_mask(rng, form, lead, L, S):
+    """Returns (mask, kv_valid); every query row keeps >= 1 attendable key
+    (the all-excluded row's 0-output contract is kernel-specific and covered
+    by the example tests — the dense oracle has no defined value there)."""
+    mask = kv = None
+    if form in ("finite",):
+        kind = rng.integers(3)
+        if kind == 0:                       # uniform shift (round-4 bug 3)
+            mask = jnp.full((*lead, L, S), float(rng.choice([-100.0, 25.0])))
+        elif kind == 1:                     # random signed biases
+            mask = jnp.asarray(rng.standard_normal((*lead, L, S)) * 5.0,
+                               jnp.float32)
+        else:                               # large finite penalties
+            m = rng.choice([0.0, -80.0], size=(*lead, L, S), p=[0.5, 0.5])
+            m[..., 0] = 0.0                 # keep one un-penalized key
+            mask = jnp.asarray(m, jnp.float32)
+    elif form in ("sentinel", "both"):
+        m = rng.choice([0.0, SENTINEL], size=(*lead, L, S), p=[0.6, 0.4])
+        m[..., 0] = 0.0                     # >= 1 attendable key per row
+        mask = jnp.asarray(m, jnp.float32)
+    if form in ("kv", "both"):
+        # kv_valid carries NO head axis (heads share key validity — the
+        # packed/flash kernels broadcast it): batch dims only
+        kv_lead = lead[:1] if len(lead) > 1 else lead
+        val = rng.integers(0, 2, size=(*kv_lead, S)).astype(np.float32)
+        val[..., 0] = 1.0                   # >= 1 valid key
+        kv = jnp.asarray(val)
+    return mask, kv
+
+
+def _run(route, q, k, v, ct, mask, kv, metric, curvature, compat):
+    def f(q, k, v):
+        out, _ = geodesic_attention(q, k, v, mask=mask, kv_valid=kv,
+                                    compat=compat, fused=route,
+                                    need_weights=False, metric=metric,
+                                    curvature=curvature)
+        return jnp.sum(out * ct), out
+
+    (_, out), grads = jax.value_and_grad(f, argnums=(0, 1, 2),
+                                         has_aux=True)(q, k, v)
+    return out, grads
+
+
+def _case_id(c):
+    return (f"{c['route']}-{c['shape']}-{c['mask_form']}-{c['metric']}"
+            f"-c{c['curvature']}-{c['compat']}")
+
+
+def _build_cases():
+    """The deterministic program pool: route x shape x mask form x metric x
+    compat combinations drawn by a seeded rng (a sample, not the cross
+    product — the full product would compile for minutes)."""
+    rng = np.random.default_rng(SEED)
+    cases = []
+    # fused: the widest contract — all mask forms, both metrics, both compats
+    for i in range(10):
+        lead, L, S, Dh = SHAPES[rng.integers(len(SHAPES))]
+        metric, c = METRICS[rng.integers(len(METRICS))]
+        cases.append(dict(route=True, shape=(lead, L, S, Dh),
+                          mask_form=MASK_FORMS[rng.integers(len(MASK_FORMS))],
+                          metric=metric, curvature=c,
+                          compat=str(rng.choice(["reference", "tpu"]))))
+    # flash: kv_valid-only masks; reference-compat square would re-express
+    # kv as an additive mask (Q3 swap) and correctly raise, so those draws
+    # pin compat="tpu"
+    for i in range(6):
+        lead, L, S, Dh = SHAPES[rng.integers(len(SHAPES))]
+        metric, c = METRICS[rng.integers(len(METRICS))]
+        form = str(rng.choice(["none", "kv"]))
+        compat = str(rng.choice(["reference", "tpu"]))
+        if form == "kv" and L == S:
+            compat = "tpu"
+        cases.append(dict(route="flash", shape=(lead, L, S, Dh),
+                          mask_form=form, metric=metric, curvature=c,
+                          compat=compat))
+    # packed: oblique only, explicit head axis, kv_valid-only
+    for i in range(6):
+        B, H, L, S, Dh = PACKED_SHAPES[rng.integers(len(PACKED_SHAPES))]
+        form = str(rng.choice(["none", "kv"]))
+        compat = str(rng.choice(["reference", "tpu"]))
+        if form == "kv" and L == S:
+            compat = "tpu"
+        cases.append(dict(route="packed", shape=((B, H), L, S, Dh),
+                          mask_form=form, metric="oblique", curvature=1.0,
+                          compat=compat))
+    return cases
+
+
+CASES = _build_cases()
+
+
+@pytest.mark.parametrize("case", CASES, ids=_case_id)
+def test_forced_route_matches_dense_oracle(case):
+    lead, L, S, Dh = case["shape"]
+    # zlib.crc32, not hash(): str hashes are salted per interpreter, and a
+    # seeded sweep must replay identically across runs
+    rng = np.random.default_rng(zlib.crc32(_case_id(case).encode()))
+    for draw in range(DRAWS):
+        # poincaré draws bound the geometry so tanh(√c‖x‖) ≤ ~0.95: at the
+        # ball-boundary clamp, artanh's conditioning legitimately amplifies
+        # fp32 rounding past any sharp tolerance (measured: dense-vs-kernel
+        # diffs of 1e-3..1e-1 near saturation, BOTH paths correct to their
+        # own rounding — e.g. c=2, Dh=8, unit-scale normals already
+        # saturate). A normal draw has ‖x‖ ≈ scale·√Dh, so cap
+        # scale ≤ atanh(0.95)/√(c·Dh); the boundary-clamp regime itself is
+        # covered by the example tests. Oblique keeps the full range — row
+        # normalization makes its scores scale-invariant in value.
+        if case["metric"] == "poincare":
+            cap = 1.5 / (case["curvature"] * case["shape"][3]) ** 0.5
+            scales = [0.3 * cap, cap]
+        else:
+            scales = [0.3, 1.0, 3.0]
+        scale = float(rng.choice(scales))
+        q, k, v, ct = _draw_inputs(rng, lead, L, S, Dh, scale)
+        mask, kv = _draw_mask(rng, case["mask_form"], lead, L, S)
+        out_k, g_k = _run(case["route"], q, k, v, ct, mask, kv,
+                          case["metric"], case["curvature"], case["compat"])
+        out_d, g_d = _run(False, q, k, v, ct, mask, kv,
+                          case["metric"], case["curvature"], case["compat"])
+        msg = f"{_case_id(case)} draw={draw} scale={scale}"
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_d),
+                                   atol=1e-4, rtol=1e-3,
+                                   err_msg=f"fwd {msg}")
+        for name, a, b in zip("qkv", g_k, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-3,
+                                       err_msg=f"d{name} {msg}")

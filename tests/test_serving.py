@@ -63,7 +63,10 @@ class TestPredictor:
                   for n in (2, 7, 12, 3, 5, 9)]
         cfgp = predictor.cfg
         serial = Predictor(predictor.params, cfgp, pipeline_depth=1)
-        deep = Predictor(predictor.params, cfgp, pipeline_depth=3)
+        # omit pipeline_depth: test the SHIPPED default (4) against serial,
+        # so a default bump can never outrun this invariance check again
+        deep = Predictor(predictor.params, cfgp)
+        assert deep.pipeline_depth > 1, "default must actually pipeline"
         a = serial.predict_many(scenes, seed=2)
         b = deep.predict_many(scenes, seed=2)
         for x, y in zip(a, b):
@@ -149,3 +152,44 @@ class TestSamplerServing:
         params, cfg, sp, _ = two_stage
         with pytest.raises(ValueError, match="together"):
             Predictor(params, cfg, sampler_params=sp)
+
+
+class TestIsolatedGrouping:
+    """Round-5 VERDICT item 8: scene-axis isolation via ONE vmapped dispatch
+    (lane-per-scene) instead of one dispatch per scene. Isolation is by
+    construction — each vmap lane is its own batch_size=1 inference — so the
+    grouped path must reproduce the serial per-scene path's values."""
+
+    def test_grouped_matches_serial(self, predictor, rng):
+        scenes = [rng.standard_normal((n, 8, 2)).astype(np.float32)
+                  for n in (2, 3, 2, 5, 2, 3, 7)]
+        serial = Predictor(predictor.params, predictor.cfg,
+                           isolated_group_max=1)
+        a = serial.predict_many(scenes, seed=4)       # 7 dispatches
+        b = predictor.predict_many(scenes, seed=4)    # grouped lanes
+        for x, y in zip(a, b):
+            assert x.shape == y.shape
+            # same per-scene keys; values may differ only by float-level
+            # reassociation between the batched and unbatched programs
+            np.testing.assert_allclose(x, y, atol=2e-5, rtol=1e-5)
+
+    def test_grouped_isolation_no_cross_scene_leak(self, predictor, rng):
+        """A scene's prediction must be IDENTICAL whether it shares the
+        vmapped dispatch with other scenes or rides alone — the isolation
+        guarantee the serialized path bought with dispatch count."""
+        obs = rng.standard_normal((3, 8, 2)).astype(np.float32)
+        others = [rng.standard_normal((3, 8, 2)).astype(np.float32) * 10
+                  for _ in range(5)]
+        alone = predictor.predict_many([obs], seed=9)[0]
+        shared = predictor.predict_many([obs] + others, seed=9)[0]
+        np.testing.assert_allclose(alone, shared, atol=2e-5, rtol=1e-5)
+
+    def test_padding_lanes_dropped(self, predictor, rng):
+        """Non-power-of-two group sizes pad lanes; outputs only cover the
+        real scenes and stay finite."""
+        scenes = [rng.standard_normal((2, 8, 2)).astype(np.float32)
+                  for _ in range(3)]   # pads 3 -> 4 lanes
+        outs = predictor.predict_many(scenes, seed=2)
+        assert len(outs) == 3
+        for o in outs:
+            assert o.shape == (4, 2, 12, 2) and np.all(np.isfinite(o))

@@ -473,3 +473,126 @@ class TestCheckpointAsyncAndRetention:
             save_checkpoint(str(tmp_path), e, params, opt_state, cfg,
                             keep_last=1)
         assert checkpoint_epochs(str(tmp_path)) == [3]
+
+
+class TestCrossTopologyRestore:
+    """Round-5 VERDICT item 3: checkpoints written on one device topology
+    must restore onto a DIFFERENT one — the preemption/elastic story
+    (train/supervisor.py + cli --distributed) the same-topology roundtrip
+    test never exercised. Restores pass explicit target shardings
+    (train.restore_shardings) so orbax never consults the save-time sharding
+    file — the thing its 'unsafe when restoring on a different topology'
+    warning is about. The reference's resume (train.py:183-198) is
+    single-device and never needed this."""
+
+    @staticmethod
+    def _trained_sharded_state(rng, cfg, opt, mesh, tp):
+        """One real step on `mesh` so the saved state is genuinely
+        mesh-placed (TP-sharded leaves when tp=True), then save."""
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        sh = param_sharding(params, mesh, tp=tp)
+        pm = jax.device_put(params, sh)
+        om = opt.init(pm)
+        step = make_train_step(cfg, opt, mesh=mesh, tp=tp, params_like=params,
+                               donate=False)
+        batch = make_batch(rng, B=2, N=4)
+        pm, om, _ = step(pm, om, shard_batch(batch, mesh),
+                         jax.random.PRNGKey(1))
+        return pm, om
+
+    def _assert_restore_continues(self, rng, tmp_path, save_mesh, save_tp,
+                                  restore_mesh, restore_tp):
+        import warnings as _warnings
+
+        from sttode_tpu.train import restore_shardings
+
+        cfg = tiny_cfg(ff_dim=64)
+        opt = optax.adam(1e-4)
+        pm, om = self._trained_sharded_state(rng, cfg, opt, save_mesh,
+                                             save_tp)
+        path = save_checkpoint(str(tmp_path), 1, pm, om, cfg)
+
+        # oracle: the NEXT step from this state, on a single device with
+        # host copies — the never-interrupted continuation
+        p_host = jax.device_get(pm)
+        o_host = jax.device_get(om)
+        batch2 = make_batch(rng, B=2, N=4)
+        step1 = make_train_step(cfg, opt, donate=False)
+        _, _, m_oracle = step1(p_host, o_host, batch2, jax.random.PRNGKey(2))
+
+        # restore on the DIFFERENT topology with explicit target shardings;
+        # the orbax sharding-file warning must not fire
+        template = {"params": p_host, "opt_state": o_host,
+                    "epoch": np.asarray(0)}
+        sh = restore_shardings(template, restore_mesh, tp=restore_tp)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            p2, o2, epoch, cfg2 = load_checkpoint(path, template=template,
+                                                  shardings=sh)
+        topo_warnings = [w for w in caught
+                         if "topology" in str(w.message)]
+        assert not topo_warnings, topo_warnings
+        assert epoch == 1 and cfg2 == cfg
+        # restored leaves actually landed with the target topology
+        leaf = jax.tree_util.tree_leaves(p2)[0]
+        assert set(leaf.sharding.device_set) <= set(restore_mesh.devices.flat)
+
+        # resume ONE step on the restoring topology: loss equals the oracle
+        stepm = make_train_step(cfg, opt, mesh=restore_mesh, tp=restore_tp,
+                                params_like=p_host, donate=False)
+        _, _, m2 = stepm(p2, o2, shard_batch(batch2, restore_mesh),
+                         jax.random.PRNGKey(2))
+        np.testing.assert_allclose(float(m_oracle["total"]),
+                                   float(m2["total"]), rtol=1e-5)
+
+    def test_save_dp4tp2_restore_dp1(self, rng, tmp_path):
+        """TP-sharded save (8 devices, model-axis splits) → one device."""
+        self._assert_restore_continues(
+            rng, tmp_path, save_mesh=make_mesh(dp=4, tp=2), save_tp=True,
+            restore_mesh=make_mesh(dp=1), restore_tp=False)
+
+    def test_save_dp8_restore_dp4(self, rng, tmp_path):
+        """Replicated dp8 save → dp4 mesh (elastic shrink)."""
+        self._assert_restore_continues(
+            rng, tmp_path, save_mesh=make_mesh(dp=8), save_tp=False,
+            restore_mesh=make_mesh(dp=4), restore_tp=False)
+
+    def test_save_dp2_restore_dp4tp2_grow(self, rng, tmp_path):
+        """dp2 save → dp4×tp2 restore (elastic grow + resharding)."""
+        self._assert_restore_continues(
+            rng, tmp_path, save_mesh=make_mesh(dp=2), save_tp=False,
+            restore_mesh=make_mesh(dp=4, tp=2), restore_tp=True)
+
+    def test_sampler_resume_from_cross_topology_stage1(self, rng, tmp_path):
+        """trainsampler's resume path: a stage-1 checkpoint saved under a
+        dp4×tp2 topology feeds stage-2 sampler training on ONE device — the
+        frozen-net restore the two-stage workflow does in practice."""
+        from sttode_tpu.train import restore_shardings
+
+        cfg = tiny_cfg(ff_dim=64)
+        opt = optax.adam(1e-4)
+        mesh = make_mesh(dp=4, tp=2)
+        pm, om = self._trained_sharded_state(rng, cfg, opt, mesh, True)
+        path = save_checkpoint(str(tmp_path), 1, pm, om, cfg)
+
+        p_host = jax.device_get(pm)
+        template = {"params": p_host, "opt_state": jax.device_get(om),
+                    "epoch": np.asarray(0)}
+        p2, _, _, cfg2 = load_checkpoint(
+            path, template=template,
+            shardings=restore_shardings(template, make_mesh(dp=1)))
+
+        scfg = SamplerConfig(nk=cfg.sample_k, nz=cfg.zdim, qnet_mlp=(32, 16))
+        sp = sampler_init(jax.random.PRNGKey(7), scfg,
+                          pred_model_dim=cfg.hidden_dim,
+                          past_feature_dim=2 * cfg.hidden_dim)
+        sopt = optax.adam(1e-4)
+        sstep = make_sampler_train_step(cfg2, scfg, sopt, donate=False)
+        batch = make_batch(rng, B=2, N=4)
+
+        # oracle from the host copy of the same stage-1 params
+        _, _, m_oracle = sstep(sp, p_host, sopt.init(sp), batch,
+                               jax.random.PRNGKey(3))
+        _, _, m2 = sstep(sp, p2, sopt.init(sp), batch, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(float(m_oracle["total"]),
+                                   float(m2["total"]), rtol=1e-6)
