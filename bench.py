@@ -3,12 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measured config = the PRODUCTION RECIPE (BENCHMARKS.md headline table row 3,
-round-3/4 notes): B=128 scenes x 11 agents, 16 optimizer steps per device
+round-3/4/5 notes): B=128 scenes x 11 agents, 16 optimizer steps per device
 dispatch (lax.scan; round-4 on-chip sweep: S=8 60.5k, S=16 63.1k, S=32 63.0k
 scenes/s — knee at 16), bf16 best-of-K selection decode with the winner
-recomputed fp32 (select_dtype="bfloat16"), selection kernel routed by the
-measured win region (select_impl="auto"), GRU input projection un-hoisted at
-selection row counts (automatic above SELECT_GRU_HOIST_MAX_ROWS).
+recomputed fp32 (select_dtype="bfloat16"), bf16-STORAGE differentiable decode
+with fp32 master weights (decode_dtype="bfloat16", round-5 adoption: x1.062
+at B=128 / x1.085 at B=512), selection kernel routed by the measured win
+region (select_impl="auto"), GRU input projection un-hoisted at selection
+row counts (automatic above SELECT_GRU_HOIST_MAX_ROWS).
 
 Robustness (round-3 postmortem): BENCH_r03.json was rc=1 because the axon TPU
 backend failed to initialize at ``jax.devices()`` time and jax CACHES backend
@@ -85,9 +87,12 @@ def run_bench():
     from sttode_tpu.train import make_train_step, stack_batches
 
     # production recipe (BENCHMARKS.md headline row 3): bf16 selection decode,
-    # Pallas selection kernel routed by its measured win region
+    # bf16-STORAGE differentiable decode (round-5 adoption: ×1.062 at B=128,
+    # ×1.085 at B=512, fp32 master weights), Pallas selection kernel routed
+    # by its measured win region
     cfg = STTODEConfig(past_length=5, future_length=10,
                        select_dtype="bfloat16",
+                       decode_dtype="bfloat16",
                        select_impl="auto").validate()
     rng = np.random.default_rng(0)
     M = SCENES_PER_STEP * AGENTS

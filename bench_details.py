@@ -105,12 +105,14 @@ def bench_train_and_infer(lines):
     lines.append(f"| train step, scanned ×{S} per dispatch (same batch shape) "
                  f"| {dt * 1e3:.2f} ms | {B / dt:,.0f} scenes/s |")
 
-    # the recommended production recipe (round-4 notes): B=128, scanned ×16
+    # the recommended production recipe (round-4/5 notes): B=128, scanned ×16
     # (bench.py's BENCH_SCAN default — the measured knee), bf16 best-of-K
-    # selection (winner recomputed fp32, GRU un-hoisted at selection rows)
+    # selection (winner recomputed fp32, GRU un-hoisted at selection rows),
+    # bf16-storage differentiable decode (round-5: ×1.06-1.09)
     Bp = 128
     Sp = int(os.environ.get("BENCH_SCAN", "16"))
-    cfg_p = cfg._replace(select_dtype="bfloat16").validate()
+    cfg_p = cfg._replace(select_dtype="bfloat16",
+                         decode_dtype="bfloat16").validate()
     params_p = sttode_init(jax.random.PRNGKey(0), cfg_p)
     opt_state_p = opt.init(params_p)
     stacked_p = stack_batches([make_batch(cfg_p, Bp, N, seed=i)

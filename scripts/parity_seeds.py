@@ -106,20 +106,29 @@ def report(store: dict, modes) -> str:
             rm, rs = _mean_std(ref)
             om, os_ = _mean_std(ours)
             n = len(cells)
-            # overlap test on the mean difference: |Δmean| vs the combined
-            # std of the per-seed PAIRED deltas (each seed shares its fixture
-            # across frameworks, so pairing removes the fixture's variance)
+            # paired t-test on the per-seed deltas (each seed shares its
+            # fixture across frameworks, so pairing removes the fixture-
+            # difficulty variance, which dominates the raw σ columns);
+            # significance against the two-sided 95% Student-t critical
+            # value at df=N-1 — NOT a fixed 2.0, which over-claims at the
+            # small N this study runs at
+            T_CRIT_95 = {1: 12.71, 2: 4.30, 3: 3.18, 4: 2.78, 5: 2.57,
+                         6: 2.45, 7: 2.36, 8: 2.31, 9: 2.26}
             deltas = [o - r for o, r in zip(ours, ref)]
             dm, ds = _mean_std(deltas)
             if n >= 2 and ds == ds:  # not NaN
                 se = ds / math.sqrt(n)
                 t = dm / se if se > 0 else float("inf")
-                if abs(t) < 2.0:
-                    verdict = f"parity (Δ={dm:+.3f}, t={t:.1f})"
+                tc = T_CRIT_95.get(n - 1, 2.0)
+                if abs(t) < tc:
+                    verdict = (f"parity (Δ={dm:+.3f}, t={t:.1f} < "
+                               f"t₉₅={tc:.2f})")
                 elif dm < 0:
-                    verdict = f"ours better (Δ={dm:+.3f}, t={t:.1f})"
+                    verdict = (f"ours better (Δ={dm:+.3f}, t={t:.1f} ≥ "
+                               f"t₉₅={tc:.2f})")
                 else:
-                    verdict = f"reference better (Δ={dm:+.3f}, t={t:.1f})"
+                    verdict = (f"reference better (Δ={dm:+.3f}, t={t:.1f} ≥ "
+                               f"t₉₅={tc:.2f})")
             else:
                 verdict = "N<2"
             lines.append(

@@ -87,6 +87,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "single-kernel Pallas selection decode (wins at "
                         "M*K >= ~1e5 rows, i.e. B>=512 at NBA shapes); "
                         "'auto' routes by that measured threshold")
+    p.add_argument("--decode_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bfloat16 gives the DIFFERENTIABLE decompose decode "
+                        "(posterior + winner recompute; stage-2 sampler "
+                        "decodes) bf16 storage — params cast once "
+                        "differentiably, fp32 master weights stay in the "
+                        "optimizer, activations + AD residuals store bf16, "
+                        "losses stay fp32")
     p.add_argument("--attn_impl", default="auto",
                    choices=("auto", "dense", "fused", "flash", "packed",
                             "ring", "ulysses"),
@@ -137,6 +145,7 @@ def _build_config(args, past_len, future_len) -> STTODEConfig:
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         select_dtype=getattr(args, "select_dtype", "float32"),
         select_impl=getattr(args, "select_impl", "xla"),
+        decode_dtype=getattr(args, "decode_dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "auto"),
         attn_metric=getattr(args, "attn_metric", "oblique"),
         curvature=getattr(args, "curvature", 1.0),
