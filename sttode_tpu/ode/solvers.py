@@ -33,6 +33,27 @@ Pytree = Any
 _FIXED_METHODS = ("euler", "midpoint", "rk4")
 _ADAPTIVE_METHODS = ("dopri5",)
 
+_HOST_CALLBACKS_OK: bool | None = None
+
+
+def _host_callbacks_supported() -> bool:
+    """Some PJRT backends — the axon TPU tunnel this framework benches on —
+    reject host send/recv callbacks at COMPILE time, so a ``jax.debug.print``
+    anywhere in the graph makes the whole solve un-compilable on exactly the
+    target hardware (caught by the round-5 bench sidecar: every dopri5
+    program failed with UNIMPLEMENTED). The platform name aliases to plain
+    'tpu', so detection reads the backend's platform_version string; cached
+    per process (the backend cannot change under a running process)."""
+    global _HOST_CALLBACKS_OK
+    if _HOST_CALLBACKS_OK is None:
+        try:
+            import jax._src.xla_bridge as xb
+            ver = getattr(xb.get_backend(), "platform_version", "")
+            _HOST_CALLBACKS_OK = "axon" not in ver
+        except Exception:  # unknown bridge layout → assume supported
+            _HOST_CALLBACKS_OK = True
+    return _HOST_CALLBACKS_OK
+
 # Adaptive solves pin RHS matmuls to fp32 by default. On TPU the ambient
 # matmul precision truncates operands to bf16, which puts an ~2^-8-relative
 # NOISE FLOOR under the embedded-pair error estimate; at tolerances below
@@ -338,17 +359,21 @@ def _dopri5_odeint(func, y0, ts, args, rtol, atol, max_steps,
     # exhaustion is otherwise SILENT (the state just stops advancing and the
     # caller trains on a mid-interval truncation): warn loudly from inside
     # the jitted program whether or not stats are requested — for BOTH the
-    # scan-budget form and the while form's max_steps cap
+    # scan-budget form and the while form's max_steps cap. On backends that
+    # reject host callbacks (axon tunnel) the in-graph warning is dropped —
+    # debug.print would fail the COMPILE of every dopri5 program there —
+    # and ``return_stats``'s budget_exhausted flag is the signal instead.
     budget = scan_budget if scan_budget is not None else max_steps
     kind = "scan_budget" if scan_budget is not None else "max_steps"
-    jax.lax.cond(
-        jnp.logical_not(jnp.all(done)),
-        lambda: jax.debug.print(
-            "WARNING sttode_tpu.ode: dopri5 " + kind + "={b} exhausted "
-            "before reaching an interval end — the returned trajectory "
-            "(and any gradients through it) is truncated mid-interval; "
-            "raise " + kind + " or loosen rtol/atol", b=budget),
-        lambda: None)
+    if _host_callbacks_supported():
+        jax.lax.cond(
+            jnp.logical_not(jnp.all(done)),
+            lambda: jax.debug.print(
+                "WARNING sttode_tpu.ode: dopri5 " + kind + "={b} exhausted "
+                "before reaching an interval end — the returned trajectory "
+                "(and any gradients through it) is truncated mid-interval; "
+                "raise " + kind + " or loosen rtol/atol", b=budget),
+            lambda: None)
     if not return_stats:
         return ys
     # RHS-eval count: 1 initial k1, and per interval 1 extra probe eval in
