@@ -195,3 +195,101 @@ def test_forced_route_matches_dense_oracle(case):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=2e-3,
                                        err_msg=f"d{name} {msg}")
+
+
+# --------------------------------------------------------------------------- #
+# selection-decode kernel family (kernels/select_decode.py)                    #
+# --------------------------------------------------------------------------- #
+
+SD_CASES = []
+
+
+def _build_sd_cases():
+    """Seeded sample of the selection-decode contract space: horizons x
+    scene count x K x mode x dtype x tiling. Same philosophy as the
+    attention sweep — round 4's silent-wrong-answer class (k_block grid
+    truncation, ~2x scene padding, bf16 selection noise) lives here."""
+    rng = np.random.default_rng(SEED + 1)
+    horizons = [(5, 10), (8, 12), (6, 7)]
+    for i in range(10):
+        tp, tf = horizons[rng.integers(len(horizons))]
+        K = int(rng.choice([4, 8, 20]))
+        SD_CASES.append(dict(
+            tp=tp, tf=tf,
+            M=int(rng.choice([3, 7, 13, 33])),
+            K=K,
+            mode=str(rng.choice(["dist", "traj"])),
+            dtype=str(rng.choice(["float32", "bfloat16"])),
+            k_block=int(rng.choice([b for b in (1, 2, 4) if K % b == 0])),
+            m_tile=[None, 16][int(rng.integers(2))],
+        ))
+
+
+_build_sd_cases()
+
+
+def _sd_id(c):
+    return (f"T{c['tp']}-{c['tf']}-M{c['M']}-K{c['K']}-{c['mode']}"
+            f"-{c['dtype']}-kb{c['k_block']}-mt{c['m_tile']}")
+
+
+@pytest.mark.parametrize("case", SD_CASES, ids=_sd_id)
+def test_select_decode_matches_decode_oracle(case):
+    from sttode_tpu.kernels import select_decode as sd
+    from sttode_tpu.models import STTODEConfig, sttode_init
+    from sttode_tpu.models import sttode as m
+
+    cfg = STTODEConfig(past_length=case["tp"],
+                       future_length=case["tf"]).validate()
+    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    M, K = case["M"], case["K"]
+    rng = np.random.default_rng(zlib.crc32(_sd_id(case).encode()))
+
+    pf1 = jnp.asarray(rng.standard_normal((M, 2 * cfg.hidden_dim)),
+                      jnp.float32)
+    z = jnp.asarray(rng.standard_normal((M * K, cfg.zdim)), jnp.float32)
+    past = jnp.asarray(rng.standard_normal((M, cfg.past_length, 2)),
+                       jnp.float32)
+    cur = jnp.asarray(rng.standard_normal((M, 1, 2)), jnp.float32)
+    fut = jnp.asarray(rng.standard_normal((M, cfg.future_length, 2)),
+                      jnp.float32)
+    state0 = m.decode_block0_state(params, past)
+
+    z_km = jnp.transpose(z.reshape(M, K, -1), (1, 0, 2))
+    got = sd.select_decode(
+        params, pf1, z_km, state0, past.reshape(M, -1),
+        (fut - cur).reshape(M, -1), mode=case["mode"],
+        dtype=jnp.bfloat16 if case["dtype"] == "bfloat16" else jnp.float32,
+        k_block=case["k_block"], m_tile=case["m_tile"], interpret=True)
+
+    pf = jnp.repeat(pf1, K, axis=0)
+    out_seq, _ = m.decode(params, cfg, pf, z, past, cur, K,
+                          block0_state=state0)
+    if case["mode"] == "traj":
+        got_abs = jnp.transpose(got, (1, 0, 2)).reshape(
+            M * K, cfg.future_length, 2) + jnp.repeat(cur, K, axis=0)
+        if case["dtype"] == "float32":
+            np.testing.assert_allclose(np.asarray(got_abs),
+                                       np.asarray(out_seq),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=_sd_id(case))
+        else:
+            np.testing.assert_allclose(np.asarray(got_abs),
+                                       np.asarray(out_seq),
+                                       rtol=0.1, atol=0.3,
+                                       err_msg=_sd_id(case))
+        return
+    want = jnp.sum(jnp.square(jnp.repeat(fut, K, axis=0) - out_seq),
+                   axis=(-1, -2)).reshape(M, K)
+    if case["dtype"] == "float32":
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=_sd_id(case))
+    else:
+        # bf16 selection contract: distances close, winner agreement up to
+        # near-ties (models/sttode.py select_dtype docs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0.08, atol=0.3, err_msg=_sd_id(case))
+        gk, wk = np.asarray(got), np.asarray(want)
+        w_at_g = wk[np.arange(M), gk.argmin(1)]
+        w_best = wk[np.arange(M), wk.argmin(1)]
+        assert np.all(w_at_g <= w_best * 1.05 + 0.05), _sd_id(case)

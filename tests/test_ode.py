@@ -359,3 +359,51 @@ class TestScanBudgetDopri5:
         lw = float(sttode_forward(params, cfg_w, b, key).total_loss)
         ls = float(sttode_forward(params, cfg_s, b, key).total_loss)
         np.testing.assert_allclose(ls, lw, rtol=1e-6)
+
+
+class TestCallbackGating:
+    """Round-5 regression: the dopri5 exhaustion warning is a host callback,
+    and callback-less PJRT backends (the axon TPU tunnel) reject those at
+    COMPILE time — with the warning present unconditionally, every dopri5
+    program failed to compile on the target hardware (caught by the bench
+    sidecar)."""
+
+    def test_axon_detection_drops_callback_from_program(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from sttode_tpu.ode import solvers
+
+        def lowered_has_callback(expect: bool):
+            f = lambda y0: solvers.odeint(lambda t, y: -y, y0,
+                                          jnp.array([0.0, 1.0]),
+                                          method="dopri5")
+            text = jax.jit(f).lower(jnp.ones(3)).as_text()
+            has = "callback" in text or "custom_call" in text.lower()
+            return has == expect
+
+        # pretend the backend is the axon tunnel: no callback may lower
+        monkeypatch.setattr(solvers, "_HOST_CALLBACKS_OK", False)
+        assert lowered_has_callback(False), \
+            "axon-gated program still lowers a host callback"
+        # cpu backend: the warning callback IS in the program
+        monkeypatch.setattr(solvers, "_HOST_CALLBACKS_OK", True)
+        assert lowered_has_callback(True), \
+            "warning callback missing on a callback-capable backend"
+
+    def test_detection_reads_platform_version(self, monkeypatch):
+        from sttode_tpu.ode import solvers
+
+        monkeypatch.setattr(solvers, "_HOST_CALLBACKS_OK", None)
+
+        class FakeBackend:
+            platform_version = "PJRT C API\naxon 0.1.0; whatever"
+
+        import jax._src.xla_bridge as xb
+        monkeypatch.setattr(xb, "get_backend", lambda: FakeBackend())
+        assert solvers._host_callbacks_supported() is False
+        monkeypatch.setattr(solvers, "_HOST_CALLBACKS_OK", None)
+        FakeBackend.platform_version = "TFRT TPU v5"
+        assert solvers._host_callbacks_supported() is True
+        # restore the cached probe for other tests in this process
+        monkeypatch.setattr(solvers, "_HOST_CALLBACKS_OK", None)

@@ -193,3 +193,25 @@ class TestIsolatedGrouping:
         assert len(outs) == 3
         for o in outs:
             assert o.shape == (4, 2, 12, 2) and np.all(np.isfinite(o))
+
+    def test_grouped_matches_serial_sampler_path(self, rng):
+        """Stage-2 (DLow flow) serving under grouped isolation: vmapped
+        lanes must reproduce the serial per-scene sampler decode."""
+        from sttode_tpu.models.sampler import SamplerConfig, sampler_init
+        cfg = STTODEConfig(hidden_dim=16, zdim=8, num_heads=4, ff_dim=32,
+                           past_length=8, future_length=12, sample_k=4)
+        params = sttode_init(jax.random.PRNGKey(0), cfg)
+        scfg = SamplerConfig(nk=5, nz=8)
+        sp = sampler_init(jax.random.PRNGKey(1), scfg,
+                          pred_model_dim=cfg.hidden_dim,
+                          past_feature_dim=2 * cfg.hidden_dim)
+        scenes = [rng.standard_normal((n, 8, 2)).astype(np.float32)
+                  for n in (3, 2, 3)]
+        serial = Predictor(params, cfg, sampler_params=sp, sampler_cfg=scfg,
+                           isolated_group_max=1)
+        grouped = Predictor(params, cfg, sampler_params=sp, sampler_cfg=scfg)
+        a = serial.predict_many(scenes, seed=6)
+        b = grouped.predict_many(scenes, seed=6)
+        for x, y in zip(a, b):
+            assert x.shape == y.shape == (scfg.nk, x.shape[1], 12, 2)
+            np.testing.assert_allclose(x, y, atol=2e-5, rtol=1e-5)
