@@ -279,7 +279,21 @@ def load_checkpoint(path: str, *, template: Any | None = None,
         # partial template (e.g. eval wants params only): restore the raw
         # saved structure — orbax rejects None placeholders in item trees —
         # then rebuild container types from the provided sub-templates.
-        restored = dict(ckptr.restore(path))
+        # Same host-numpy rule as the full-template path (the saved tree
+        # shape comes from the checkpoint's own metadata), so this branch
+        # neither consults the save-time sharding file nor warns.
+        try:
+            # StepMetadata itself is one opaque leaf; the restorable tree
+            # (272 ArrayMetadata leaves for the flagship model) hangs off
+            # .item_metadata.tree
+            meta = ckptr.metadata(path).item_metadata.tree
+            rargs = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            restored = dict(ckptr.restore(path, restore_args=rargs))
+        except Exception:
+            # metadata layout differs across orbax versions — fall back to
+            # the default restore (topology warning and all) over failing
+            restored = dict(ckptr.restore(path))
         if template:
             for k, sub in template.items():
                 if sub is not None and k in restored:

@@ -596,3 +596,27 @@ class TestCrossTopologyRestore:
         _, _, m2 = sstep(sp, p2, sopt.init(sp), batch, jax.random.PRNGKey(3))
         np.testing.assert_allclose(float(m_oracle["total"]),
                                    float(m2["total"]), rtol=1e-6)
+
+
+def test_partial_template_restore_no_topology_warning(rng, tmp_path):
+    """Eval-style params-only restores (cli.test / trainsampler frozen-net
+    loads) must not consult the save-time sharding file either: the partial
+    branch restores host numpy via checkpoint metadata, so orbax's
+    'unsafe on a different topology' warning never fires (round-5 item 3
+    follow-through — the suite previously carried the warning from e2e)."""
+    import warnings as _warnings
+
+    cfg = tiny_cfg()
+    params = sttode_init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-4)
+    path = save_checkpoint(str(tmp_path), 2, params, opt.init(params), cfg)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        p2, _, epoch, _ = load_checkpoint(
+            path, template={"params": params, "opt_state": None,
+                            "epoch": np.asarray(0)})
+    assert not [w for w in caught if "topology" in str(w.message)]
+    assert epoch == 2
+    eq = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), params, p2)
+    assert all(jax.tree_util.tree_leaves(eq))
