@@ -293,3 +293,106 @@ def test_select_decode_matches_decode_oracle(case):
         w_at_g = wk[np.arange(M), gk.argmin(1)]
         w_best = wk[np.arange(M), wk.argmin(1)]
         assert np.all(w_at_g <= w_best * 1.05 + 0.05), _sd_id(case)
+
+
+# --------------------------------------------------------------------------- #
+# sequence-parallel attention family (parallel/ring_attention, ulysses)        #
+# --------------------------------------------------------------------------- #
+
+SP_CASES = []
+
+
+def _build_sp_cases():
+    """Seeded sample over the SP contract space on the 8-device CPU mesh:
+    impl x (L, S, Dh divisible over the axis) x metric x kv pattern x grad
+    target — the randomized counterpart of the fixed-shape equality tests
+    in test_ring_attention.py / test_ulysses.py."""
+    rng = np.random.default_rng(SEED + 2)
+    for i in range(8):
+        impl = ("ring", "ulysses")[i % 2]
+        metric, c = METRICS[rng.integers(len(METRICS))]
+        SP_CASES.append(dict(
+            impl=impl,
+            B=int(rng.choice([1, 2, 3])),
+            H=int(rng.choice([4, 8])),           # ulysses only
+            L=int(rng.choice([8, 16, 24])),
+            S=int(rng.choice([8, 24, 32])),
+            Dh=int(rng.choice([4, 8, 16])),
+            metric=metric, curvature=c,
+            kv=bool(rng.integers(2)),
+        ))
+
+
+_build_sp_cases()
+
+
+def _sp_id(c):
+    return (f"{c['impl']}-B{c['B']}H{c['H']}L{c['L']}S{c['S']}D{c['Dh']}"
+            f"-{c['metric']}-c{c['curvature']}-kv{c['kv']}")
+
+
+@pytest.mark.parametrize("case", SP_CASES, ids=_sp_id)
+def test_sp_matches_dense_oracle(case):
+    from sttode_tpu.parallel import make_mesh
+    from sttode_tpu.parallel.ring_attention import (dense_reference,
+                                                    ring_geodesic_attention)
+    from sttode_tpu.parallel.ulysses import ulysses_geodesic_attention
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    mesh = make_mesh(dp=4, tp=1)     # SP axis size 4: 8/16/24/32 all divide
+    rng = np.random.default_rng(zlib.crc32(_sp_id(case).encode()))
+    B, H, L, S, Dh = (case[k] for k in ("B", "H", "L", "S", "Dh"))
+    if case["metric"] == "poincare":
+        scale = 1.5 / (case["curvature"] * Dh) ** 0.5   # see attention sweep
+    else:
+        scale = float(rng.choice([0.5, 1.5]))
+    lead = (B, H) if case["impl"] == "ulysses" else (B,)
+    q = jnp.asarray(rng.standard_normal((*lead, L, Dh)) * scale, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((*lead, S, Dh)) * scale, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((*lead, S, Dh)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((*lead, L, Dh)), jnp.float32)
+    val = None
+    if case["kv"]:
+        a = rng.integers(0, 2, size=(B, S)).astype(np.float32)
+        a[:, 0] = 1.0
+        val = jnp.asarray(a)
+
+    mk = case["metric"]
+    cv = case["curvature"]
+    if case["impl"] == "ring":
+        sp_fn = lambda q, k, v: ring_geodesic_attention(
+            q, k, v, mesh, kv_valid=val, metric=mk, curvature=cv)
+
+        def dense_fn(q, k, v):
+            return dense_reference(q, k, v, kv_valid=val, metric=mk,
+                                   curvature=cv)
+    else:
+        sp_fn = lambda q, k, v: ulysses_geodesic_attention(
+            q, k, v, mesh, kv_valid=val, metric=mk, curvature=cv)
+        # dense_reference is 3-D [rows, tokens, Dh]: fold (B, H) into rows
+        # and repeat kv_valid per head
+        dval = None if val is None else jnp.repeat(val, H, axis=0)
+
+        def dense_fn(q, k, v):
+            out = dense_reference(q.reshape(B * H, L, Dh),
+                                  k.reshape(B * H, S, Dh),
+                                  v.reshape(B * H, S, Dh),
+                                  kv_valid=dval, metric=mk, curvature=cv)
+            return out.reshape(B, H, L, Dh)
+
+    def f(fn):
+        def loss(q, k, v):
+            out = fn(q, k, v)
+            return jnp.sum(out * ct), out
+        return jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(
+            q, k, v)
+
+    (_, out_sp), g_sp = f(sp_fn)
+    (_, out_d), g_d = f(dense_fn)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_d),
+                               atol=1e-4, rtol=1e-3, err_msg=_sp_id(case))
+    for name, a, b in zip("qkv", g_sp, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3,
+                                   err_msg=f"d{name} {_sp_id(case)}")
